@@ -1,0 +1,83 @@
+"""DataFrame wiring: read → (salted repartition) → mapInArrow → sink.
+
+Scale notes (the design target is a 1000-executor cluster over 10^12
+docs; SURVEY.md §4):
+
+- Extraction is embarrassingly parallel: one row = one complete document,
+  so the kernel runs as a NARROW mapInArrow — zero shuffles on the hot
+  path. The only shuffle anywhere is the optional skew repartition below.
+- Column pruning: we select exactly (doc_id, spans) so the scan reads
+  only those columns (reference loads whole images unconditionally,
+  src/DocumentAnalyzer.py:105-109 — Iceberg/parquet pruning is free here).
+- Skew (FIXTURES.md "media-heavy" family): a 10^5-span doc in a partition
+  of 1-span docs makes a straggler. ``repartition_salted`` splits the
+  corpus into light/heavy tiers by span count and hashes each tier across
+  its own partition budget, so heavy docs spread instead of clumping.
+  Within the kernel, SPAN_BUDGET (segment.py) bounds peak memory.
+- Deterministic bucket ids (``with_partition_id``) drive lineage/resume:
+  pmod(xxhash64(doc_id), buckets) is stable across runs and cluster
+  sizes, unlike physical partition indices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schema import EXTRACTED_SCHEMA
+from .segment import extract_batches
+
+# docs with more spans than this are routed to the heavy tier
+HEAVY_SPAN_THRESHOLD = 1000
+
+
+def extract(docs: DataFrame) -> DataFrame:
+    """Run the extraction kernel. Narrow — no shuffle."""
+    return docs.select("doc_id", "spans").mapInArrow(
+        extract_batches, schema=EXTRACTED_SCHEMA
+    )
+
+
+def with_partition_id(docs: DataFrame, num_buckets: int) -> DataFrame:
+    """Deterministic bucket id over hash(doc_id) — the lineage/resume key."""
+    return docs.withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_buckets)).cast("int"),
+    )
+
+
+def repartition_salted(
+    docs: DataFrame,
+    num_partitions: int,
+    heavy_span_threshold: int = HEAVY_SPAN_THRESHOLD,
+    heavy_fraction: float = 0.25,
+) -> DataFrame:
+    """Size-bucketed salted repartition (SURVEY.md §7.5 skew handling).
+
+    Light docs hash across ``num_partitions``; heavy (media-heavy skew
+    family) docs get their own partition budget so a single giant doc
+    never queues behind thousands of light ones. Both tiers salt with
+    xxhash64(doc_id) — uniform, deterministic, key-free.
+    """
+    heavy_parts = max(1, int(num_partitions * heavy_fraction))
+    nspans = F.size(F.col("spans"))
+    light = docs.filter(nspans <= heavy_span_threshold).repartition(
+        num_partitions, F.xxhash64("doc_id")
+    )
+    heavy = docs.filter(nspans > heavy_span_threshold).repartition(
+        heavy_parts, F.xxhash64("doc_id")
+    )
+    return light.unionAll(heavy)
+
+
+def run_extraction(
+    docs: DataFrame,
+    num_partitions: int | None = None,
+    skew_salting: bool = True,
+) -> DataFrame:
+    """Full pipeline: optional skew repartition + kernel."""
+    if num_partitions and skew_salting:
+        docs = repartition_salted(docs, num_partitions)
+    elif num_partitions:
+        docs = docs.repartition(num_partitions, F.xxhash64("doc_id"))
+    return extract(docs)
