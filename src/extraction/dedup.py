@@ -1,0 +1,223 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All variants are pure DataFrame compositions (shuffle-aware, no UDFs):
+
+- exact:        hash-groupBy on a normalized fingerprint. One shuffle on
+                the fingerprint; partial aggregation is map-side.
+- minhash_lsh:  shingle → portable md5-derived minhash signature → band →
+                bucket self-join. The self-join key is (band_id, band_sig)
+                so candidate generation shuffles only the tiny signature
+                table, never the corpus text. At 100 TB this is THE
+                near-dup strategy: O(n·perms) + bucket-local pairs.
+- ngram_jaccard: exact Jaccard via shingle explode + equi-join on shingle
+                (for verification of LSH candidates or small corpora).
+- simhash:      64/32-bit simhash + banded grouping for hamming-near pairs.
+- embedding:    cosine near-dup over a vector column (built-in
+                aggregate/zip_with arithmetic — JVM-side).
+
+Portability: every hash is md5-derived (fingerprint64) so an independent
+ANSI-SQL engine reproduces bit-identical signatures (oracle checking).
+In production xxhash64 is a drop-in ~3× faster swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import fingerprint, normalize_text, word_shingles
+
+# MinHash parameters: h_i(x) = (A_i * (x mod P) + B_i) mod P (universal
+# hashing). 31-bit Mersenne prime keeps every intermediate < 2^62 — plain
+# int64 arithmetic, bit-identical in any ANSI-SQL engine (no decimal path).
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime
+MINHASH_PERMS = 16
+LSH_BANDS = 4  # 4 bands × 4 rows: catches jaccard ≳ 0.5 pairs w.h.p.
+
+
+def _perm_coeffs(perms: int = MINHASH_PERMS) -> list[tuple[int, int]]:
+    """Deterministic (A, B) pairs derived from a fixed seed via splitmix."""
+    from .corpus import _splitmix64
+
+    out = []
+    for i in range(perms):
+        a = _splitmix64(0xA5EED + 2 * i) % (MINHASH_PRIME - 1) + 1
+        b = _splitmix64(0xB5EED + 2 * i + 1) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """Portable 32-bit shingle hash: first 8 hex digits of md5."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(text: Column, k: int = 3, perms: int = MINHASH_PERMS) -> Column:
+    """Array of ``perms`` minhash values over k-word shingles.
+
+    NULL-free: empty shingle sets get MINHASH_PRIME sentinels. With A,B,
+    (h mod P) all < 2^31, every product stays < 2^62 — exact int64.
+    """
+    hashes = F.transform(word_shingles(text, k), shingle_hash)
+
+    def perm_fn(a: int, b: int):
+        # plain 1-arg lambda: pyspark derives higher-order-function arity
+        # from the signature, so no default-arg closures
+        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_PRIME)) + F.lit(b)) % F.lit(
+            MINHASH_PRIME
+        )
+
+    sigs = []
+    for a, b in _perm_coeffs(perms):
+        mh = F.array_min(F.transform(hashes, perm_fn(a, b)))
+        sigs.append(F.coalesce(mh, F.lit(MINHASH_PRIME).cast("long")))
+    return F.array(*sigs)
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact (normalized) duplicates: one row per group with >1 doc.
+
+    Returns (fp, dup_count, keep_id) — keep_id = min id, the survivor.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min("id").alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    Plan shape: signature projection (narrow) → explode bands (×bands) →
+    shuffle on (band, signature-slice) → in-bucket pairs. The corpus text
+    never shuffles.
+    """
+    rows = perms // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k, perms).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * rows + 1, rows).cast("array<long>").alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", F.col("bs.bsig").cast("string").alias("bsig"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs via shingle equi-join.
+
+    jaccard = |∩| / (|A|+|B|−|∩|); the threshold test is done in exact
+    integer arithmetic (inter*den ≥ (sa+sb−inter)*num).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    )
+    sizes = sh.select("id", F.size("shingles").alias("nsh"))
+    ex = sh.select("id", F.explode("shingles").alias("shingle"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nsh", "nsh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nsh", "nsh_b"), "id_b")
+        .filter(
+            F.col("inter") * threshold_den
+            >= (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")) * threshold_num
+        )
+        .select("id_a", "id_b", "inter", "nsh_a", "nsh_b")
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns, built-ins only.
+
+    Elements are widened to double BEFORE multiplying and accumulation is
+    a sequential left fold — bit-reproducible by any engine that does
+    per-element double arithmetic in index order.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold.
+
+    With ``block_col`` the self-join is restricted to equal blocks
+    (e.g. an LSH sign-bucket from similarity.py) — the scale path.
+    Without it this is the exact O(n²) verifier for small n.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    t = df.select(*cols)
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        t.alias("a")
+        .join(t.alias("b"), cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side machinery — schema, Arrow batch shape, mapInPandas UDF
+signatures, partition-size control — is real and tested. The actual
+codec work (JPEG decode, resample, frame sampling) is STUBBED behind
+``_decode_stub``: this container ships no image/audio libraries, so the
+stub produces a deterministic fake "decoded" payload from the bytes.
+Swapping in PIL/ffmpeg is a one-function change; the distributed plan
+(fat-row batch caps, metadata pushdown, binary passthrough) is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), False),  # opaque bytes
+    ]
+)
+
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("mime", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("feature_hash", LongType(), False),
+    ]
+)
+
+
+def _decode_stub(payload: bytes, mime: str) -> tuple[int | None, int | None, int]:
+    """STUB for the codec step (no image/audio libs in this container).
+
+    Returns deterministic fake (width, height, feature_hash) derived from
+    the payload bytes. Replace with PIL.Image.open / soundfile / PyAV for
+    real decoding — the surrounding Spark plumbing does not change.
+    """
+    if not payload:
+        return None, None, 0
+    h = 1469598103934665603  # FNV-1a 64
+    for b in payload[:4096]:  # bounded work per item, like a header parse
+        h = ((h ^ b) * 1099511628211) & ((1 << 64) - 1)
+    if mime.startswith("image/"):
+        return 16 + h % 4096, 16 + (h >> 12) % 4096, h % (1 << 62)
+    return None, None, h % (1 << 62)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract media rows via Arrow-batched mapInPandas.
+
+    Fat binary rows: callers should cap Arrow batch rows (job.py sets
+    spark.sql.execution.arrow.maxRecordsPerBatch) — same skew discipline
+    as the media-heavy docs path.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _decode_stub(p if p is not None else b"", m)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "width": pd.array([d[0] for d in decoded], dtype="Int32"),
+                    "height": pd.array([d[1] for d in decoded], dtype="Int32"),
+                    "feature_hash": [d[2] for d in decoded],
+                }
+            )
+
+    return media.select("media_ref", "mime", "payload").mapInPandas(
+        run, schema=MEDIA_FEATURES_SCHEMA
+    )
+
+
+def synth_media_table(df: DataFrame, ref_col: str, text_col: str) -> DataFrame:
+    """Deterministic fake media table: payload = utf-8 bytes of the text
+    (tests/bench only — real corpora carry actual image/audio bytes)."""
+    return df.select(
+        F.col(ref_col).cast("string").alias("media_ref"),
+        F.when(F.crc32(F.col(ref_col).cast("string")) % 2 == 0, F.lit("image/jpeg"))
+        .otherwise(F.lit("audio/wav"))
+        .alias("mime"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )

@@ -1,0 +1,472 @@
+"""ANSI-SQL (DuckDB) oracles for every SQL-expressible query in
+__spark_entry__.queries().
+
+Each statement must reproduce the Spark query's values bit-exactly:
+- integer/rational arithmetic wherever possible;
+- md5-derived 32-bit hashes (portable across engines);
+- doubles only via identical op sequences (element-wise double widening,
+  sequential left-fold sums generated as explicit expression chains);
+- DuckDB sum(BIGINT) returns HUGEINT → always cast back to BIGINT.
+
+Spark queries these mirror live in __spark_entry__.py; shared helpers in
+textops.py / dedup.py / similarity.py.
+"""
+
+from __future__ import annotations
+
+from .corpus import _splitmix64
+from .dedup import MINHASH_PRIME, _perm_coeffs
+from .textops import STOPWORDS, TOKEN_PATTERN
+
+SESSION_GAP_S = 600
+ALT_GAP_S = 900
+
+# ---------------------------------------------------------------------------
+# shared CTE fragments
+# ---------------------------------------------------------------------------
+
+def _sessions_cte(gap: int, name: str = "sess") -> str:
+    return f"""
+ev_{name} AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+), flagged_{name} AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > {gap}
+              THEN 1 ELSE 0 END AS newblk
+  FROM ev_{name}
+), {name} AS (
+  SELECT user_id, t,
+         CAST(SUM(newblk) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged_{name}
+), blocks_{name} AS (
+  SELECT user_id, session_id,
+         MIN(t) AS t_min, MAX(t) AS t_max, COUNT(*) AS n_events
+  FROM {name} GROUP BY user_id, session_id
+)"""
+
+
+_DOC_CLS_CTE = """
+doc_cls AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CASE WHEN n_chars % 7 >= GREATEST(n_chars*3 % 11, n_chars*5 % 13) THEN 0
+                   WHEN n_chars*3 % 11 >= n_chars*5 % 13 THEN 1
+                   ELSE 2 END AS BIGINT) AS cls
+  FROM documents
+)"""
+
+# normalized text + word list (textops.normalize_text / words)
+_NORM_WORDS_CTE = r"""
+norm AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS t
+  FROM documents
+)"""
+
+
+def _stop_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+def _sw_hits(lang: str, col: str = "text") -> str:
+    return (
+        f"CAST(len(list_filter(regexp_split_to_array(lower({col}), '\\s+'),"
+        f" x -> x IN ({_stop_list(lang)}))) AS BIGINT)"
+    )
+
+
+def _cosine_expr(a: str, b: str, dims: int = 64) -> str:
+    """Explicit per-dimension cosine — identical fold order to Spark's
+    aggregate(zip_with(...)): 0.0 + t1 + t2 + ... left-to-right."""
+    dot = " + ".join(
+        f"CAST({a}[{d}] AS DOUBLE) * CAST({b}[{d}] AS DOUBLE)" for d in range(1, dims + 1)
+    )
+    na = " + ".join(
+        f"CAST({a}[{d}] AS DOUBLE) * CAST({a}[{d}] AS DOUBLE)" for d in range(1, dims + 1)
+    )
+    nb = " + ".join(
+        f"CAST({b}[{d}] AS DOUBLE) * CAST({b}[{d}] AS DOUBLE)" for d in range(1, dims + 1)
+    )
+    return f"((0.0 + {dot}) / (sqrt(0.0 + {na}) * sqrt(0.0 + {nb})))"
+
+
+def _lsh_bucket_expr(vec: str, planes: int = 4, dims: int = 64) -> str:
+    """Mirror of similarity.sign_lsh_bucket (same splitmix-derived signs)."""
+    parts = []
+    for p in range(planes):
+        pattern = _splitmix64(0xC0FFEE + p)
+        signs = [1.0 if (pattern >> (d % 64)) & 1 else -1.0 for d in range(dims)]
+        dot = " + ".join(
+            f"CAST({vec}[{d + 1}] AS DOUBLE) * {signs[d]}" for d in range(dims)
+        )
+        parts.append(f"CASE WHEN (0.0 + {dot}) > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def _shingles_expr(k: int) -> str:
+    """Mirror of textops.word_shingles over the normalized text column t."""
+    concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(CASE WHEN len(ws) >= {k} "
+        f"THEN list_transform(range(1, len(ws) - {k - 1} + 1), i -> {concat}) "
+        f"ELSE [] END)"
+    )
+
+
+_WS_CTE = r"""
+wsed AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS ws
+  FROM norm
+)"""
+
+
+def _minhash_cols(perms: int) -> str:
+    cols = []
+    for i, (a, b) in enumerate(_perm_coeffs(perms)):
+        cols.append(
+            f"COALESCE(list_min(list_transform(hashes, "
+            f"h -> ({a} * (h % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME})), "
+            f"{MINHASH_PRIME}) AS mh{i}"
+        )
+    return ",\n         ".join(cols)
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["g1_sessionize"] = f"""
+WITH {_sessions_cte(SESSION_GAP_S)}
+SELECT user_id, session_id, t_min, t_max, n_events FROM blocks_sess
+"""
+
+ORACLES["p4_small_filter"] = f"""
+WITH {_sessions_cte(SESSION_GAP_S)}
+SELECT user_id, session_id, n_events FROM blocks_sess WHERE n_events >= 5
+"""
+
+ORACLES["p5_containment"] = f"""
+WITH {_sessions_cte(SESSION_GAP_S)}
+SELECT a.user_id AS user_id, a.session_id AS inner_id, b.session_id AS outer_id
+FROM blocks_sess a JOIN blocks_sess b
+  ON a.user_id = b.user_id AND a.session_id <> b.session_id
+ AND a.t_min + 600 > b.t_min AND a.t_max < b.t_max + 600
+"""
+
+ORACLES["p6_overlap_ratio"] = """
+WITH iv AS (
+  SELECT user_id, event_type,
+         MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.user_id AS user_id, a.event_type AS type_a, b.event_type AS type_b,
+       round(CAST(GREATEST(0, LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo)) AS DOUBLE)
+             / CAST(LEAST(a.hi - a.lo, b.hi - b.lo) AS DOUBLE), 4) AS overlap_ratio
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+WHERE LEAST(a.hi - a.lo, b.hi - b.lo) > 0
+"""
+
+ORACLES["p2_argmax_class"] = f"""
+WITH {_DOC_CLS_CTE}
+SELECT cls, COUNT(*) AS n FROM doc_cls GROUP BY cls
+"""
+
+ORACLES["p3_class_strip"] = f"""
+WITH {_DOC_CLS_CTE}
+SELECT CAST(CASE WHEN cls = 2 THEN 0 ELSE cls END AS BIGINT) AS cls, COUNT(*) AS n
+FROM doc_cls GROUP BY 1
+"""
+
+ORACLES["x2_profile"] = """
+SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click
+FROM events GROUP BY 1
+"""
+
+ORACLES["x3_nms"] = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+), win AS (
+  SELECT day, n, MAX(n) OVER (ORDER BY day ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS localmax
+  FROM daily
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n FROM win WHERE n = localmax
+"""
+
+ORACLES["x1_trimmed_mean"] = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+SELECT source, round(avg(n_chars), 4) AS avg_top_half
+FROM ranked WHERE rn * 2 <= cnt GROUP BY source
+"""
+
+ORACLES["p9_regex_median"] = """
+WITH k AS (
+  SELECT event_type, TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, round(quantile_cont(k, 0.5), 4) AS median_k
+FROM k WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+ORACLES["e1_pixel_accuracy"] = f"""
+WITH {_DOC_CLS_CTE}
+SELECT round(avg(CASE WHEN cls = (CASE WHEN cls = 2 THEN 0 ELSE cls END)
+                      THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM doc_cls
+"""
+
+ORACLES["e3_symmetric_best_dice"] = f"""
+WITH {_sessions_cte(SESSION_GAP_S, "gt")},
+{_sessions_cte(ALT_GAP_S, "res")[1:]},
+scored AS (
+  SELECT g.user_id,
+         g.session_id AS gid, r.session_id AS rid,
+         2.0 * GREATEST(0, LEAST(g.t_max, r.t_max) - GREATEST(g.t_min, r.t_min) + 1)
+             / ((g.t_max - g.t_min + 1) + (r.t_max - r.t_min + 1)) AS dice
+  FROM blocks_gt g JOIN blocks_res r ON g.user_id = r.user_id
+), bd_gt AS (
+  SELECT user_id, avg(best) AS bd_gt FROM (
+    SELECT user_id, gid, MAX(dice) AS best FROM scored GROUP BY user_id, gid
+  ) GROUP BY user_id
+), bd_res AS (
+  SELECT user_id, avg(best) AS bd_res FROM (
+    SELECT user_id, rid, MAX(dice) AS best FROM scored GROUP BY user_id, rid
+  ) GROUP BY user_id
+)
+SELECT g.user_id AS user_id, round(LEAST(g.bd_gt, r.bd_res), 6) AS sbd
+FROM bd_gt g JOIN bd_res r ON g.user_id = r.user_id
+"""
+
+ORACLES["t1_conditional_score"] = """
+SELECT source,
+       round(CASE WHEN SUM(n_chars) > 3000
+                  THEN CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+                  ELSE 0.0 END, 4) AS score
+FROM documents GROUP BY source
+"""
+
+ORACLES["t2_normalize"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(CAST(n_chars AS DOUBLE) / CAST(SUM(n_chars) OVER (PARTITION BY source) AS DOUBLE), 6) AS weight
+FROM documents
+"""
+
+ORACLES["t5_group_split"] = """
+SELECT CAST(CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT) % 3 AS BIGINT) AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY 1
+"""
+
+ORACLES["t6_topk_per_group"] = """
+WITH ranked AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rn
+  FROM documents
+)
+SELECT source, doc_id, n_chars, rn FROM ranked WHERE rn <= 20
+"""
+
+ORACLES["e5_join_mean"] = """
+WITH a AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars AS na FROM documents),
+     b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS BIGINT) AS nb FROM documents)
+SELECT COUNT(*) AS n, round(avg(abs(a.na - b.nb)), 6) AS mean_abs_diff
+FROM a JOIN b USING (doc_id)
+"""
+
+ORACLES["text_token_counts"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+ORACLES["text_quality"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(floor(
+         LEAST(length(text) / 5, 40.0)
+         + LEAST({_sw_hits("en")} * 4, 30)
+         + LEAST((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 3, 15)
+         - LEAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')), 15)
+         + 15.0
+       ) AS BIGINT) AS quality
+FROM documents
+"""
+
+_LANGS = list(STOPWORDS)
+_LANG_CASE = " ".join(
+    f"WHEN h_{lang} = best AND best > 0 THEN '{lang}'" for lang in _LANGS
+)
+ORACLES["text_lang_id"] = f"""
+WITH hits AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {", ".join(f'{_sw_hits(lang)} AS h_{lang}' for lang in _LANGS)}
+  FROM documents
+), best AS (
+  SELECT doc_id, {", ".join(f"h_{lang}" for lang in _LANGS)},
+         GREATEST({", ".join(f"h_{lang}" for lang in _LANGS)}) AS best
+  FROM hits
+)
+SELECT doc_id, CASE {_LANG_CASE} ELSE 'und' END AS lang_pred FROM best
+"""
+
+ORACLES["text_fingerprint"] = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+_SIMHASH_VOTES = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{j}"
+    for j in range(32)
+)
+_SIMHASH_SUM = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+ORACLES["text_simhash"] = f"""
+WITH {_NORM_WORDS_CTE[1:]},
+w AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> ''))) AS word
+  FROM norm
+), h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM w
+), votes AS (
+  SELECT doc_id, {_SIMHASH_VOTES}
+  FROM h GROUP BY doc_id
+)
+SELECT n.doc_id AS doc_id,
+       CAST(COALESCE({_SIMHASH_SUM}, 0) AS BIGINT) AS simhash
+FROM norm n LEFT JOIN votes v ON n.doc_id = v.doc_id
+"""
+
+ORACLES["dedup_exact"] = r"""
+WITH fp AS (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT fp) AS n_dupes
+FROM fp
+"""
+
+ORACLES["dedup_minhash_sig"] = f"""
+WITH {_NORM_WORDS_CTE[1:]},
+{_WS_CTE[1:]},
+sh AS (
+  SELECT doc_id, {_shingles_expr(3)} AS shingles FROM wsed
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hashes
+  FROM sh
+)
+SELECT doc_id, {_minhash_cols(4)}
+FROM hashed
+"""
+
+_MH8 = _minhash_cols(8)
+_LSH_JOINS = "\nUNION\n".join(
+    f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b"
+    f" ON a.mh{2 * b_} = b.mh{2 * b_} AND a.mh{2 * b_ + 1} = b.mh{2 * b_ + 1}"
+    f" AND a.doc_id < b.doc_id"
+    for b_ in range(4)
+)
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH {_NORM_WORDS_CTE[1:]},
+{_WS_CTE[1:]},
+sh AS (
+  SELECT doc_id, {_shingles_expr(1)} AS shingles FROM wsed
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hashes
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_MH8} FROM hashed
+), pairs AS (
+{_LSH_JOINS}
+)
+SELECT COUNT(*) AS n_candidate_pairs FROM pairs
+"""
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH {_NORM_WORDS_CTE[1:]},
+{_WS_CTE[1:]},
+sh AS (
+  SELECT doc_id, {_shingles_expr(1)} AS shingles FROM wsed
+), sizes AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh FROM sh
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(inter AS BIGINT) AS inter, sa.nsh AS nsh_a, sb.nsh AS nsh_b
+FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+           JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE inter * 5 >= (sa.nsh + sb.nsh - inter) * 3
+"""
+
+ORACLES["dedup_embedding_cosine"] = f"""
+SELECT COUNT(*) AS n_pairs
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cosine_expr("a.embedding", "b.embedding")} >= 0.5
+"""
+
+ORACLES["ann_bruteforce_top1"] = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cosine_expr("q.embedding", "c.embedding")} AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 30
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id
+FROM ranked WHERE rn = 1
+"""
+
+ORACLES["ann_lsh_buckets"] = f"""
+SELECT {_lsh_bucket_expr("embedding")} AS bucket, COUNT(*) AS n
+FROM embeddings GROUP BY 1
+"""
+
+ORACLES["ann_lsh_top1"] = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_expr("embedding")} AS bucket FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cosine_expr("q.embedding", "c.embedding")} AS cos_sim
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 30
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id
+FROM ranked WHERE rn = 1
+"""
+
+ORACLES["multimodal_meta"] = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
+       COUNT(*) AS n_files,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents GROUP BY 1
+"""

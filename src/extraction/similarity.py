@@ -1,0 +1,111 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- brute_force_topk: exact cosine top-k via crossJoin + window. The
+  baseline/verifier. At scale the small query side MUST broadcast —
+  F.broadcast() is applied so the corpus never shuffles.
+- sign_lsh_bucket / bucketed_topk: random-hyperplane LSH scale path.
+  Hyperplanes are deterministic ±1 sign patterns derived from md5 bits,
+  so bucket assignment is reproducible in ANSI SQL. Probing cost drops
+  from O(n·q) to O(q · n / 2^planes) per bucket; recall traded via
+  number of planes (and multi-probe if needed).
+
+Everything is built-in expressions (zip_with/aggregate) — JVM-side,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_sim
+
+
+def sign_lsh_bucket(vec: Column, planes: int = 4, dims: int = 64) -> Column:
+    """LSH bucket id in [0, 2^planes): bit p = sign of <v, h_p>.
+
+    Hyperplane h_p has deterministic ±1 components: component d is
+    +1 iff bit (d + p) of a fixed md5-derived constant pattern is 1 —
+    cheap, data-independent, and expressible in plain SQL.
+    """
+    from .corpus import _splitmix64
+
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        pattern = _splitmix64(0xC0FFEE + p)  # deterministic per plane
+        signs = [1 if (pattern >> (d % 64)) & 1 else -1 for d in range(dims)]
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, s: (x * s).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 1,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank). Excludes self.
+
+    The query side is broadcast — the corpus side never shuffles; ranking
+    is a per-query window (partial top-k would use AQE at larger k).
+    """
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+        "qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 1,
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """ANN top-k probing only the query's LSH bucket (scale path)."""
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        sign_lsh_bucket(F.col(vec_col), planes, dims).alias("cb"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        sign_lsh_bucket(F.col(vec_col), planes, dims).alias("qb"),
+    )
+    scored = c.join(
+        F.broadcast(q), (F.col("qb") == F.col("cb")) & (F.col("qid") != F.col("nid"))
+    ).select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

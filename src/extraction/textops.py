@@ -1,0 +1,155 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+and document fingerprinting — all pure built-in ``pyspark.sql.functions``
+expressions (JVM-side, whole-stage codegen; UDFs are the slow path).
+Every function returns a Column and composes with any DataFrame.
+
+Integer/rational arithmetic throughout so results are bit-stable and
+reproducible against an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword tables (broadcast as literals inside the plan)
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "de", "que", "es", "un", "una", "por", "con"),
+}
+
+# BPE-ish token pattern: letter runs | digit runs | single non-space symbol
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization, empty strings removed."""
+    return F.filter(F.split(col, "\\s+"), lambda w: w != "")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col)).cast("long")
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish regex token count (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), F.lit(0))).cast("long")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of whitespace tokens that are stopwords of ``lang``."""
+    sw = STOPWORDS[lang]
+    return F.size(
+        F.filter(words(F.lower(col)), lambda w: w.isin(*sw))
+    ).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits.
+
+    Deterministic tie-break by language order (en > de > fr > es);
+    'und' (undetermined) when no stopword hits at all.
+    """
+    hits = [stopword_hits(col, lang) for lang in STOPWORDS]
+    best = F.greatest(*hits)
+    expr = F.lit("und")
+    # build reverse so earlier languages win ties via later when() override
+    for lang, h in reversed(list(zip(STOPWORDS, hits))):
+        expr = F.when((h == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Deterministic quality-scoring features (all exact integers)."""
+    return {
+        "n_chars": F.length(col).cast("long"),
+        "n_tokens": token_count_ws(col),
+        "n_bpe_tokens": token_count_bpe(col),
+        "n_stopwords": stopword_hits(col, "en"),
+        "n_upper": F.length(col) - F.length(F.regexp_replace(col, "[A-Z]", "")),
+        "n_punct": F.length(col) - F.length(F.regexp_replace(col, "[.,;:!?]", "")),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Integer quality score in [0,100]: rewards length, stopword density
+    and punctuation presence; penalizes shouty text. Exact arithmetic."""
+    f = quality_features(col)
+    len_pts = F.least(f["n_chars"] / F.lit(5), F.lit(40.0))
+    stop_pts = F.least(f["n_stopwords"] * F.lit(4), F.lit(30).cast("long")).cast("double")
+    punct_pts = F.least(f["n_punct"] * F.lit(3), F.lit(15).cast("long")).cast("double")
+    upper_pen = F.least(f["n_upper"], F.lit(15).cast("long")).cast("double")
+    return F.floor(len_pts + stop_pts + punct_pts - upper_pen + F.lit(15.0)).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, strip punctuation, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9\\s]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column) -> Column:
+    """128-bit document fingerprint (hex) over normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint64(col: Column) -> Column:
+    """Portable 60-bit integer fingerprint: first 15 hex digits of md5.
+
+    Uses md5 (not xxhash64) so an independent ANSI-SQL engine reproduces
+    identical values: conv(substr(md5(x),1,15),16,10).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>).
+
+    Texts with fewer than k words yield an empty array (guarded — Spark's
+    sequence(1, 0) would generate a DESCENDING range, not an empty one).
+    """
+    ws = words(normalize_text(col))
+    n = F.size(ws)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(n >= k, shingles).otherwise(empty))
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace words of normalized text.
+
+    Bit j of the result is 1 iff sum over distinct words of
+    (±1 by word-hash bit j) is positive. Word hash = portable 32-bit
+    md5-derived integer, so the whole computation is reproducible in
+    ANSI SQL. Built-ins only: explode-free aggregate over the words array.
+    """
+    ws = F.array_distinct(words(normalize_text(col)))
+    hashes = F.transform(ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+
+    def vote_fn(j: int):
+        # 2-arg lambda via factory (no default-arg closures — pyspark
+        # derives higher-order-function arity from the signature)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(j))
+        bit_cols.append(F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for b in bit_cols[1:]:
+        out = out + b
+    return out

@@ -1,0 +1,99 @@
+"""Replicates the driver's correctness gate locally: runs each
+__spark_entry__.queries()[name] on Spark and oracle_sql()[name] on DuckDB
+at the given sf dir, compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted).
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "src"))
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from extraction.job import build_session
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    spark = build_session("local[8]", shuffle_partitions=16, app="oracle-compare")
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={scols} duck={dcols}")
+            continue
+        order = sorted(range(len(scols)), key=lambda i: scols[i])
+        dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        sset = sorted(
+            tuple(norm_cell(r[i]) for i in order) for r in srows
+        )
+        dset = sorted(
+            tuple(norm_cell(r[i]) for i in dorder) for r in drows
+        )
+        if len(sset) != len(dset):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(sset)} duck={len(dset)}")
+            continue
+        if sset != dset:
+            failures.append(name)
+            bad = next(i for i in range(len(sset)) if sset[i] != dset[i])
+            print(f"FAIL  {name}: values differ at sorted row {bad}:")
+            print(f"      spark: {sset[bad]}")
+            print(f"      duck:  {dset[bad]}")
+            continue
+        print(f"OK    {name}: {len(sset)} rows match")
+    spark.stop()
+    print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
