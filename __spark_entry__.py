@@ -25,12 +25,23 @@ if _SRC not in sys.path:
 # python workers import the package by module reference (prod: --py-files)
 os.environ["PYTHONPATH"] = _SRC + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-SESSION_GAP_S = 600  # G1 sessionize gap (s)
-ALT_GAP_S = 900  # alternative segmentation for the dice harness
+# events inter-arrival median is ~7h (sf0.01), so a 6h session gap makes
+# multi-event sessions common — the downstream block predicates (P4/P5)
+# then have non-trivial hit sets instead of vacuous empty matches
+SESSION_GAP_S = 21600  # G1 sessionize gap (s)
+ALT_GAP_S = 43200  # alternative segmentation for the dice harness
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small single-file scan across all cores before expensive
+    per-row expressions (test parquet is one row group → one partition;
+    at production scale the scan is naturally multi-partition and this
+    repartition is a no-op to omit)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------
@@ -87,33 +98,6 @@ def _doc_cls(spark, sf_dir) -> DataFrame:
     return d.select(F.col("doc_id").cast("long").alias("doc_id"), cls.alias("cls"))
 
 
-_SQL_SESSIONS = f"""
-WITH ev AS (
-  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS t FROM events
-), flagged AS (
-  SELECT user_id, t,
-         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > {SESSION_GAP_S}
-              THEN 1 ELSE 0 END AS newblk
-  FROM ev
-), sess AS (
-  SELECT user_id, t,
-         CAST(SUM(newblk) OVER (PARTITION BY user_id ORDER BY t
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-  FROM flagged
-)
-"""
-
-_SQL_DOC_CLS = """
-WITH doc_cls AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         CAST(CASE WHEN n_chars % 7 >= GREATEST(n_chars*3 % 11, n_chars*5 % 13) THEN 0
-                   WHEN n_chars*3 % 11 >= n_chars*5 % 13 THEN 1
-                   ELSE 2 END AS BIGINT) AS cls
-  FROM documents
-)
-"""
-
-
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -132,31 +116,10 @@ def q_p4_small_filter(spark, sf_dir):
     )
 
 
-def q_p5_containment(spark, sf_dir):
-    """P5: theta self-join — tolerant interval containment (±600 s)."""
-    b = _session_blocks(spark, sf_dir).select(
-        "user_id", "session_id", "t_min", "t_max"
-    )
-    a, c = b.alias("a"), b.alias("b")
+def _type_intervals(spark, sf_dir) -> DataFrame:
+    """Per-(user, event_type) time extents — overlapping intervals, unlike
+    same-user sessions which are disjoint by construction."""
     return (
-        a.join(
-            c,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.session_id") != F.col("b.session_id"))
-            & (F.col("a.t_min") + 600 > F.col("b.t_min"))
-            & (F.col("a.t_max") < F.col("b.t_max") + 600),
-        )
-        .select(
-            F.col("a.user_id").alias("user_id"),
-            F.col("a.session_id").alias("inner_id"),
-            F.col("b.session_id").alias("outer_id"),
-        )
-    )
-
-
-def q_p6_overlap_ratio(spark, sf_dir):
-    """P6: 1-D interval overlap ratio between per-(user,event_type) extents."""
-    iv = (
         _t(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
         .agg(
@@ -164,6 +127,32 @@ def q_p6_overlap_ratio(spark, sf_dir):
             F.max(F.unix_timestamp("ts")).alias("hi"),
         )
     )
+
+
+def q_p5_containment(spark, sf_dir):
+    """P5: theta self-join — tolerant interval containment (±600 s),
+    is_inside analog (src/Postprocessing.py:20-21)."""
+    b = _type_intervals(spark, sf_dir)
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.lo") + 600 > F.col("b.lo"))
+            & (F.col("a.hi") < F.col("b.hi") + 600),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("inner_type"),
+            F.col("b.event_type").alias("outer_type"),
+        )
+    )
+
+
+def q_p6_overlap_ratio(spark, sf_dir):
+    """P6: 1-D interval overlap ratio between per-(user,event_type) extents."""
+    iv = _type_intervals(spark, sf_dir)
     a, b = iv.alias("a"), iv.alias("b")
     ov = F.greatest(
         F.lit(0).cast("long"),
@@ -373,7 +362,7 @@ def q_text_token_counts(spark, sf_dir):
 def q_text_quality(spark, sf_dir):
     from extraction.textops import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _par(spark, _t(spark, sf_dir, "documents"))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         quality_score(F.col("text")).alias("quality"),
@@ -397,7 +386,7 @@ def q_text_fingerprint(spark, sf_dir):
 def q_text_simhash(spark, sf_dir):
     from extraction.textops import simhash
 
-    d = _t(spark, sf_dir, "documents")
+    d = _par(spark, _t(spark, sf_dir, "documents"))
     return d.select(F.col("doc_id").cast("long").alias("doc_id"), simhash(F.col("text"), 32).alias("simhash"))
 
 
@@ -418,29 +407,41 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_minhash_sig(spark, sf_dir):
     from extraction.dedup import minhash_signature
 
-    d = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(F.col("text"), k=3, perms=4)
-    return d.select(
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    # signature materialized in its own projection: element_at picks from
+    # the ONE computed array (inlining the expression 4× would rebuild
+    # the shingle/md5 pipeline per output column — no CSE across HOFs)
+    sigd = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.element_at(sig, 1).alias("mh0"),
-        F.element_at(sig, 2).alias("mh1"),
-        F.element_at(sig, 3).alias("mh2"),
-        F.element_at(sig, 4).alias("mh3"),
+        minhash_signature(F.col("text"), k=3, perms=4).alias("sig"),
+    )
+    return sigd.select(
+        "doc_id",
+        F.element_at("sig", 1).alias("mh0"),
+        F.element_at("sig", 2).alias("mh1"),
+        F.element_at("sig", 3).alias("mh2"),
+        F.element_at("sig", 4).alias("mh3"),
     )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     from extraction.dedup import minhash_lsh_candidates
 
-    d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(d, "text", "doc_id", k=1, perms=8, bands=4)
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_candidates(d, "text", "doc_id", k=3, perms=16, bands=4)
     return pairs.agg(F.count("*").alias("n_candidate_pairs"))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs Jaccard — the O(n²) verifier. Scale-bounded to a
+    deterministic 10% doc sample; the full-corpus scale path is
+    q_dedup_lsh_verified (LSH candidates → exact verification)."""
     from extraction.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _par(
+        spark,
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id").cast("long") % 10 == 0),
+    )
     pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=1, threshold_num=3, threshold_den=5)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -451,11 +452,39 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def q_dedup_embedding_cosine(spark, sf_dir):
-    from extraction.dedup import embedding_neardup_pairs
+def q_dedup_lsh_verified(spark, sf_dir):
+    """Near-dup dedup, the 100 TB shape: banded MinHash-LSH candidate
+    generation followed by exact Jaccard verification of candidates only
+    (never all pairs)."""
+    from extraction.dedup import lsh_verified_pairs
 
-    e = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.5)
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    pairs = lsh_verified_pairs(
+        d, "text", "doc_id", k=3, perms=16, bands=4,
+        threshold_num=1, threshold_den=2,
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("nsh_a").cast("long").alias("nsh_a"),
+        F.col("nsh_b").cast("long").alias("nsh_b"),
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup, blocked by sign-LSH bucket — the scale shape:
+    the O(n²) cosine join runs only within buckets (16× fewer pairs at
+    4 planes), exactly how a 100 TB corpus would be blocked."""
+    from extraction.dedup import embedding_neardup_pairs
+    from extraction.similarity import sign_lsh_bucket
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", sign_lsh_bucket(F.col("embedding"), planes=4, dims=64)
+    )
+    pairs = embedding_neardup_pairs(
+        e, "embedding", "vec_id", threshold=0.5, block_col="bucket"
+    )
     return pairs.groupBy().agg(F.count("*").alias("n_pairs"))
 
 
@@ -464,7 +493,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 def q_ann_bruteforce_top1(spark, sf_dir):
     from extraction.similarity import brute_force_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 30)
     return brute_force_topk(e, q, "embedding", "vec_id", k=1).select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -475,7 +504,7 @@ def q_ann_bruteforce_top1(spark, sf_dir):
 def q_ann_lsh_buckets(spark, sf_dir):
     from extraction.similarity import sign_lsh_bucket
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
     return (
         e.select(sign_lsh_bucket(F.col("embedding"), planes=4, dims=64).alias("bucket"))
         .groupBy("bucket")
@@ -486,7 +515,7 @@ def q_ann_lsh_buckets(spark, sf_dir):
 def q_ann_lsh_top1(spark, sf_dir):
     from extraction.similarity import bucketed_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 30)
     return bucketed_topk(e, q, "embedding", "vec_id", k=1, planes=4, dims=64).select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -594,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_top1": q_ann_bruteforce_top1,
         "ann_lsh_buckets": q_ann_lsh_buckets,

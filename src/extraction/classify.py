@@ -6,71 +6,96 @@ keeping only its *contract*: a 3-way class per element
 {0 background/boilerplate, 1 content, 2 separator}, plus a content
 sub-kind {title, paragraph, figure, caption}.
 
-Everything here operates on whole flat batches with pandas string ops /
-NumPy — no per-row Python (input_hint requirement). The rule tables are
-module-level constants compiled once per executor (contrast: the
-reference restores a TF session per image, src/DocumentAnalyzer.py:45-46).
+Everything operates on whole flat batches with **pyarrow.compute**
+kernels (C++-vectorized, RE2 regex) — no per-row Python AND no Python
+string objects at all. An earlier pandas ``.str`` implementation
+materialized millions of Python strings per media-heavy batch; the
+resulting allocator/mmap churn showed up as 60-80 %% *system* CPU under
+32-way concurrency. The rule tables are module-level constants compiled
+once per executor (contrast: the reference restores a TF session per
+image, src/DocumentAnalyzer.py:45-46).
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import constants as C
 
 # out-kind integer codes used inside the kernel
 K_TITLE, K_PARAGRAPH, K_FIGURE, K_CAPTION = 0, 1, 2, 3
-KIND_NAMES = np.array([C.OUT_TITLE, C.OUT_PARAGRAPH, C.OUT_FIGURE, C.OUT_CAPTION])
+KIND_NAMES_PA = pa.array(
+    [C.OUT_TITLE, C.OUT_PARAGRAPH, C.OUT_FIGURE, C.OUT_CAPTION], type=pa.string()
+)
 
-_BOILER_RE = re.compile("|".join(re.escape(m) for m in C.BOILERPLATE_MARKERS))
-_CAPTION_RE = re.compile("^(?:" + "|".join(re.escape(p) for p in C.CAPTION_PREFIXES) + ")")
-_ENDS_SENTENCE_RE = re.compile(r"[.!?]$")
-_WORD_RE = re.compile(r"\S+")
-_CAP_WORD_RE = re.compile(r"(?:^|\s)[A-Z]")
+# counts of these must equal the oracle's word-level counting
+# (oracle.py:_is_title_shaped): words = split(), caps = words[0] in A-Z
+_CAP_WORD_RE = r"(?:^|\s)[A-Z]"
+_WORD_RE = r"\S+"
 
 
-def classify_flat(kind: pd.Series, text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Classify a flat batch of spans.
+def _np_bool(arr) -> np.ndarray:
+    """Arrow boolean array -> dense numpy bool (nulls = False)."""
+    return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+
+
+def _np_i64(arr) -> np.ndarray:
+    return pc.fill_null(arr, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def classify_flat(kind: pa.Array, text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Classify a flat batch of spans (Arrow string arrays in).
 
     Returns (cls int8 array, out_kind int8 array). out_kind is only
-    meaningful where cls == 1.
+    meaningful where cls == 1. Must equal oracle.classify_span per
+    element — pytest asserts kernel/oracle equality on whole corpora.
     """
     n = len(kind)
     cls = np.zeros(n, dtype=np.int8)
     okind = np.full(n, K_PARAGRAPH, dtype=np.int8)
+    if n == 0:
+        return cls, okind
 
-    kind_np = kind.to_numpy()
-    is_sep = kind_np == C.KIND_SEP
-    is_media = kind_np == C.KIND_MEDIA
-    is_text = (kind_np == C.KIND_TEXT) & text.notna().to_numpy()
+    is_sep = _np_bool(pc.equal(kind, C.KIND_SEP))
+    is_media = _np_bool(pc.equal(kind, C.KIND_MEDIA))
+    is_text = _np_bool(pc.equal(kind, C.KIND_TEXT)) & _np_bool(pc.is_valid(text))
 
     cls[is_sep] = C.CLS_SEPARATOR
     cls[is_media] = C.CLS_CONTENT
     okind[is_media] = K_FIGURE
 
     if is_text.any():
-        t = text[is_text].astype("object").astype(str)
-        low = t.str.lower()
-        boiler = low.str.contains(_BOILER_RE, regex=True).to_numpy()
-        caption = low.str.match(_CAPTION_RE).to_numpy() & ~boiler
-        title = (
-            (t.str.len() <= C.TITLE_MAX_CHARS)
-            & ~t.str.contains(_ENDS_SENTENCE_RE, regex=True)
-            & (
-                t.str.count(_CAP_WORD_RE.pattern) * C.TITLE_CAP_RATIO_DEN
-                > t.str.count(_WORD_RE.pattern) * C.TITLE_CAP_RATIO_NUM
-            )
-        ).to_numpy() & ~boiler & ~caption
+        low = pc.utf8_lower(text)
+        boiler = np.zeros(n, dtype=bool)
+        for marker in C.BOILERPLATE_MARKERS:
+            boiler |= _np_bool(pc.match_substring(low, marker))
+        caption = np.zeros(n, dtype=bool)
+        for prefix in C.CAPTION_PREFIXES:
+            caption |= _np_bool(pc.starts_with(low, prefix))
+        caption &= ~boiler
 
-        sub_cls = np.where(boiler, C.CLS_BACKGROUND, C.CLS_CONTENT).astype(np.int8)
-        sub_kind = np.where(
-            caption, K_CAPTION, np.where(title, K_TITLE, K_PARAGRAPH)
-        ).astype(np.int8)
-        idx = np.flatnonzero(is_text)
-        cls[idx] = sub_cls
-        okind[idx] = sub_kind
+        # title-shaped (oracle.py:_is_title_shaped): short, no sentence
+        # terminator, majority of words capitalized — exact integer ratio
+        nlen = _np_i64(pc.utf8_length(text))
+        ends = (
+            _np_bool(pc.ends_with(text, "."))
+            | _np_bool(pc.ends_with(text, "!"))
+            | _np_bool(pc.ends_with(text, "?"))
+        )
+        caps = _np_i64(pc.count_substring_regex(text, _CAP_WORD_RE))
+        words = _np_i64(pc.count_substring_regex(text, _WORD_RE))
+        title = (
+            (nlen <= C.TITLE_MAX_CHARS)
+            & ~ends
+            & (caps * C.TITLE_CAP_RATIO_DEN > words * C.TITLE_CAP_RATIO_NUM)
+            & ~boiler
+            & ~caption
+        )
+
+        np.putmask(cls, is_text & ~boiler, C.CLS_CONTENT)
+        np.putmask(okind, is_text & caption, K_CAPTION)
+        np.putmask(okind, is_text & title, K_TITLE)
 
     return cls, okind

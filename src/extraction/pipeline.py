@@ -61,13 +61,14 @@ def repartition_salted(
     """
     heavy_parts = max(1, int(num_partitions * heavy_fraction))
     nspans = F.size(F.col("spans"))
-    light = docs.filter(nspans <= heavy_span_threshold).repartition(
-        num_partitions, F.xxhash64("doc_id")
-    )
-    heavy = docs.filter(nspans > heavy_span_threshold).repartition(
-        heavy_parts, F.xxhash64("doc_id")
-    )
-    return light.unionAll(heavy)
+    # single scan + single shuffle: salt heavy docs into their own id
+    # space past num_partitions (a filter+union would scan the corpus
+    # twice and shuffle twice)
+    salt = F.when(
+        nspans > heavy_span_threshold,
+        F.lit(num_partitions) + F.pmod(F.xxhash64("doc_id"), F.lit(heavy_parts)),
+    ).otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions)))
+    return docs.repartition(num_partitions + heavy_parts, salt)
 
 
 def run_extraction(

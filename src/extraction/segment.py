@@ -16,11 +16,11 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import constants as C
-from .classify import KIND_NAMES, classify_flat
+from .classify import KIND_NAMES_PA, classify_flat
 from .postprocess import postprocess_doc
 
 # soft cap on spans processed per kernel invocation — bounds peak memory
@@ -82,9 +82,13 @@ def _extract_one(rb: pa.RecordBatch) -> pa.RecordBatch:
         return _emit(doc_id_arr, [], np.zeros(ndocs, np.int64),
                      np.empty(0, np.int64), None, None, None)
 
-    kind = flat.field("kind").to_pandas()
-    text = flat.field("text").to_pandas()
-    media = flat.field("media_ref").to_pandas()
+    # stay in Arrow: no Python string objects are ever materialized
+    # (a pandas conversion here costs millions of object allocations per
+    # media-heavy batch — measured as a 60-80% system-CPU storm at 32
+    # concurrent workers)
+    kind = flat.field("kind")
+    text = flat.field("text")
+    media = flat.field("media_ref")
     offset = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
 
     # --- classify (C1 seat) ---
@@ -130,7 +134,11 @@ def _extract_one(rb: pa.RecordBatch) -> pa.RecordBatch:
     bends = np.concatenate((bstarts[1:], [nk])) - 1
 
     # span char weights: figures contribute MEDIA_CHAR_WEIGHT (G3/P4 input)
-    tlen = text.str.len().fillna(0).to_numpy().astype(np.int64)
+    tlen = (
+        pc.fill_null(pc.utf8_length(text), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     w = np.where(okind == 2, C.MEDIA_CHAR_WEIGHT, tlen)  # 2 == K_FIGURE
     k_w = w[k_idx]
 
@@ -172,17 +180,18 @@ def _emit(
     ranges: list[np.ndarray],
     out_counts: np.ndarray,
     k_idx: np.ndarray,
-    text: pd.Series | None,
-    media: pd.Series | None,
+    text: pa.Array | None,
+    media: pa.Array | None,
     k_okind: np.ndarray | None,
 ) -> pa.RecordBatch:
     ndocs = len(out_counts)
     if ranges:
         sel = np.concatenate(ranges)  # indices into the kept arrays
         flat_sel = k_idx[sel]
-        out_kind = pa.array(KIND_NAMES[k_okind[sel]], type=pa.string())
-        out_text = pa.array(text.to_numpy()[flat_sel], type=pa.string())
-        out_media = pa.array(media.to_numpy()[flat_sel], type=pa.string())
+        # gathers stay in Arrow (pc.take) — no Python objects
+        out_kind = pc.take(KIND_NAMES_PA, pa.array(k_okind[sel], type=pa.int8()))
+        out_text = pc.take(text, pa.array(flat_sel, type=pa.int64()))
+        out_media = pc.take(media, pa.array(flat_sel, type=pa.int64()))
         doc_out_start = np.concatenate(([0], np.cumsum(out_counts)[:-1]))
         order = (
             np.arange(len(sel), dtype=np.int64)

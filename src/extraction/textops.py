@@ -112,19 +112,31 @@ def fingerprint64(col: Column) -> Column:
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text (array<string>).
 
-    Texts with fewer than k words yield an empty array (guarded — Spark's
-    sequence(1, 0) would generate a DESCENDING range, not an empty one).
+    Texts with fewer than k words yield an empty array.
+
+    Built by k−1 nested ``zip_with`` of the word array against its own
+    shifted slices, then trimmed to n−k+1. This evaluates the word-array
+    subexpression exactly k+1 times per ROW. (The naive form —
+    ``element_at(ws, i+j)`` inside a ``transform`` lambda — re-evaluates
+    the whole normalize+split pipeline per ELEMENT: interpreted
+    higher-order functions do no subexpression caching; measured ~100×
+    slower on ~60-word docs.)
     """
     ws = words(normalize_text(col))
-    n = F.size(ws)
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
-    empty = F.array().cast("array<string>")
-    return F.array_distinct(F.when(n >= k, shingles).otherwise(empty))
+    if k == 1:
+        return F.array_distinct(ws)
+    acc = ws
+    for j in range(1, k):
+        # zip_with pads the shorter (sliced) array with nulls; concat_ws
+        # drops nulls, leaving partial shingles at the tail — sliced off
+        # below, so only full k-word shingles survive
+        acc = F.zip_with(
+            acc,
+            F.slice(ws, j + 1, F.size(ws)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    trimmed = F.slice(acc, 1, F.greatest(F.size(ws) - F.lit(k - 1), F.lit(0)))
+    return F.array_distinct(trimmed)
 
 
 def simhash(col: Column, bits: int = 32) -> Column:
@@ -138,18 +150,31 @@ def simhash(col: Column, bits: int = 32) -> Column:
     ws = F.array_distinct(words(normalize_text(col)))
     hashes = F.transform(ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
 
-    def vote_fn(j: int):
-        # 2-arg lambda via factory (no default-arg closures — pyspark
-        # derives higher-order-function arity from the signature)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long")) == 1, 1
-        ).otherwise(-1)
+    # single fold carrying all ``bits`` vote counters at once: the word
+    # hashing runs ONCE per row (a per-bit aggregate would rebuild the
+    # md5 hash array per bit — no CSE across higher-order functions)
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
 
-    bit_cols = []
-    for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(j))
-        bit_cols.append(F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bit_cols[0]
-    for b in bit_cols[1:]:
-        out = out + b
-    return out
+    def fold(acc, h):
+        votes = F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long")) == 1, F.lit(1)
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for j in range(bits)
+            ]
+        )
+        return F.zip_with(acc, votes, lambda x, y: x + y)
+
+    powers = F.array(*[F.lit(2 ** j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            F.aggregate(hashes, zeros, fold),
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
