@@ -177,6 +177,120 @@ def q_p6_overlap_ratio(spark, sf_dir):
     )
 
 
+def q_x4_find_separators(spark, sf_dir):
+    """X4: two conditional projection profiles, candidates where the
+    separator profile exceeds the paragraph profile, then X3 NMS — the
+    whitespace-column detector (src/SeparatorHelperMethods.py:62-74)."""
+    ev = _t(spark, sf_dir, "events")
+    prof = ev.groupBy(F.hour("ts").cast("long").alias("hour")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n_line"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_para"),
+    )
+    cand = prof.withColumn(
+        "cand",
+        F.when(F.col("n_line") > F.col("n_para"), F.col("n_line"))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    w = Window.orderBy("hour").rowsBetween(-1, 1)
+    return (
+        cand.withColumn("localmax", F.max("cand").over(w))
+        .filter((F.col("cand") > 0) & (F.col("cand") == F.col("localmax")))
+        .select("hour", F.col("cand").alias("strength"))
+    )
+
+
+def q_q1_elimination(spark, sf_dir):
+    """Q1 as a relational plan: survivors after small/contained block
+    elimination = anti-join (src/Postprocessing.py:30-57; SURVEY.md §2.9
+    maps the surviving set to an anti-join)."""
+    iv = _type_intervals(spark, sf_dir)
+    a, b = iv.alias("a"), iv.alias("b")
+    contained = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") != F.col("b.event_type"))
+        & (F.col("a.lo") + 600 > F.col("b.lo"))
+        & (F.col("a.hi") < F.col("b.hi") + 600)
+    )
+    return (
+        a.join(b, contained, "left_anti")
+        .filter(F.col("hi") - F.col("lo") >= 86400)
+        .select("user_id", "event_type", "lo", "hi")
+    )
+
+
+def q_q2_interval_merge(spark, sf_dir):
+    """Q2 merge as a relational plan: union-merge nearby intervals per
+    user via running-max window (merge_vertical_paragraphs.py:22-98 gap
+    rule; one pass replaces the fixpoint loop because intervals are
+    sorted by lo and the near-gap relation is transitive along that
+    order)."""
+    iv = _type_intervals(spark, sf_dir)
+    order = [F.asc("lo"), F.asc("hi"), F.asc("event_type")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = 43200
+    flagged = iv.withColumn(
+        "newgrp",
+        F.when(F.col("lo") > F.max("hi").over(w_prev) + gap, 1).otherwise(0),
+    )
+    return (
+        flagged.withColumn("grp", F.sum("newgrp").over(w_run).cast("long"))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("lo").alias("m_lo"),
+            F.max("hi").alias("m_hi"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+    )
+
+
+def q_s3_parse_points(spark, sf_dir):
+    """S3/S4: parse a `x,y x,y ...` points string into typed pairs and
+    aggregate the bounding box (src/HelperMethods.py:35-45,116-139). The
+    string is synthesized deterministically from n_chars, then parsed
+    back with split/transform — the parse itself is the operator under
+    test."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = [
+        F.concat_ws(
+            ",",
+            ((F.col("n_chars") * k) % 97).cast("string"),
+            ((F.col("n_chars") * (k + 1)) % 89).cast("string"),
+        )
+        for k in (1, 3, 5)
+    ]
+    pts = F.concat_ws(" ", *pairs)
+    parsed = F.transform(
+        F.split(pts, " "),
+        lambda p: F.struct(
+            F.split(p, ",")[0].cast("long").alias("x"),
+            F.split(p, ",")[1].cast("long").alias("y"),
+        ),
+    )
+    xs = F.transform(parsed, lambda s: s.x)
+    ys = F.transform(parsed, lambda s: s.y)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_min(xs).alias("min_x"),
+        F.array_max(xs).alias("max_x"),
+        F.array_min(ys).alias("min_y"),
+        F.array_max(ys).alias("max_y"),
+    )
+
+
 def q_p2_argmax_class(spark, sf_dir):
     """P2: per-element argmax over 3 class scores (greatest + chained when)."""
     return _doc_cls(spark, sf_dir).groupBy("cls").agg(F.count("*").alias("n"))
@@ -541,13 +655,15 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Full mapInPandas decode path (stubbed codec) — rows-only check."""
+    """Full mapInPandas decode path (stubbed codec). The FNV-1a header
+    hash is reproduced bit-exactly by the DuckDB oracle (hugeint
+    arithmetic), so this checks the whole binary->features plumbing."""
     from extraction.multimodal import extract_media_features, synth_media_table
 
     d = _t(spark, sf_dir, "documents")
     media = synth_media_table(d, "doc_id", "text")
     return extract_media_features(media).select(
-        "media_ref", "mime", "n_bytes", "feature_hash"
+        "media_ref", "mime", "n_bytes", "width", "height", "feature_hash"
     )
 
 
@@ -604,9 +720,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_containment": q_p5_containment,
         "p6_overlap_ratio": q_p6_overlap_ratio,
         "p9_regex_median": q_p9_regex_median,
+        "q1_elimination": q_q1_elimination,
+        "q2_interval_merge": q_q2_interval_merge,
+        "s3_parse_points": q_s3_parse_points,
         "x1_trimmed_mean": q_x1_trimmed_mean,
         "x2_profile": q_x2_profile,
         "x3_nms": q_x3_nms,
+        "x4_find_separators": q_x4_find_separators,
         "e1_pixel_accuracy": q_e1_pixel_accuracy,
         "e3_symmetric_best_dice": q_e3_symmetric_best_dice,
         "e5_join_mean": q_e5_join_mean,

@@ -36,8 +36,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # extraction corpus size for the throughput measurement (docs)
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
 HEAVY_SPANS = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SPANS", "2000"))
+# scaling pair: N and 4N task slots. Each mapInArrow task keeps BOTH a
+# JVM thread (scan decode + Arrow transport) and a Python worker busy, so
+# local[k] occupies ~2k vCPUs — on this 32-vCPU box local[16] is the
+# largest level that does not oversubscribe (oversubscription measured
+# 2-3x slower AND noisier, see BENCH/BASELINE.md).
+SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4"))
+SCALE_N4 = int(os.environ.get("SPARK_GRAFT_BENCH_N4", str(SCALE_N * 4)))
 
 
 def _sf_of(path: str) -> float:
@@ -75,20 +82,55 @@ def run_queries(spark) -> dict[str, float]:
     return times
 
 
-def measure_extraction(spark, n_docs: int) -> dict:
-    """North metric: docs/sec through the full extraction pipeline."""
-    from extraction.corpus import corpus_df
+def corpus_parquet(spark, n_docs: int) -> str:
+    """Materialize the deterministic corpus once; reused across sessions.
+
+    The input must come from storage, not a persisted DataFrame: a
+    MEMORY_AND_DISK cache gets partially evicted by shuffle execution
+    memory mid-measurement and silently re-runs corpus synthesis inside
+    the measured window (observed as a 4x slowdown at local[32])."""
+    path = f"/dev/shm/bench_corpus_{n_docs}_{HEAVY_SPANS}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from extraction.corpus import corpus_df
+
+        corpus_df(spark, n_docs, heavy_spans=HEAVY_SPANS, slices=128).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+def measure_extraction(spark, n_docs: int, warmup: bool = True) -> dict:
+    """North metric: docs/sec through read -> salted repartition -> kernel.
+
+    One unmeasured warmup pass strips JIT-compilation and Python-worker
+    spawn cost from the measured window (a production job amortizes both
+    over hours; a cold 20 s run does not)."""
     from extraction.pipeline import run_extraction
+    from extraction.schema import DOCS_SCHEMA
 
     cores = spark.sparkContext.defaultParallelism
-    docs = corpus_df(spark, n_docs, heavy_spans=HEAVY_SPANS, slices=cores * 4)
-    # exclude corpus synthesis from the measured window: materialize input
-    docs = docs.persist()
-    docs.count()
+    path = corpus_parquet(spark, n_docs)
+    # scan granularity: >= 4 tasks per core at either parallelism level
+    # (the corpus is tens of MB; the 128 MB default would scan it in ~2
+    # tasks and measure single-core parquet decode)
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(1 << 20, _dir_bytes(path) // (cores * 4))),
+    )
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(path)
+    if warmup:
+        _force(run_extraction(docs, num_partitions=cores * 4))
     t0 = time.monotonic()
     _force(run_extraction(docs, num_partitions=cores * 4))
     wall = time.monotonic() - t0
-    docs.unpersist()
     return {
         "docs": n_docs,
         "cores": cores,
@@ -102,22 +144,29 @@ def main() -> int:
     spark = build_session(CPUS, "bench")
     try:
         qtimes = run_queries(spark)
+    finally:
+        spark.stop()
+
+    # extraction throughput in its own session at the no-oversubscription
+    # parallelism (SCALE_N4), fresh JVM so prior query state can't leak in
+    spark = build_session(SCALE_N4, "bench-extract")
+    try:
         ext_full = measure_extraction(spark, N_DOCS)
     finally:
         spark.stop()
 
     scaling = None
-    if RUN_SCALING and CPUS >= 4:
-        small = max(1, CPUS // 4)
-        spark = build_session(small, "bench-scaling")
+    if RUN_SCALING:
+        spark = build_session(SCALE_N, "bench-scaling")
         try:
             ext_small = measure_extraction(spark, N_DOCS)
         finally:
             spark.stop()
-        eff = ext_full["docs_per_sec"] / (4.0 * ext_small["docs_per_sec"])
+        factor = SCALE_N4 / SCALE_N
+        eff = ext_full["docs_per_sec"] / (factor * ext_small["docs_per_sec"])
         scaling = {
-            "n_cores": small,
-            "n4_cores": CPUS,
+            "n_cores": SCALE_N,
+            "n4_cores": SCALE_N4,
             "n_docs_per_sec": ext_small["docs_per_sec"],
             "n4_docs_per_sec": ext_full["docs_per_sec"],
             "efficiency": round(eff, 3),

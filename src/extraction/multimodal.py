@@ -95,11 +95,14 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
 def synth_media_table(df: DataFrame, ref_col: str, text_col: str) -> DataFrame:
     """Deterministic fake media table: payload = utf-8 bytes of the text
-    (tests/bench only — real corpora carry actual image/audio bytes)."""
+    (tests/bench only — real corpora carry actual image/audio bytes).
+
+    Mime routing hashes with md5 (not crc32) so the DuckDB oracle can
+    reproduce it bit-exactly (oracles_sql.py "multimodal_features")."""
+    ref = F.col(ref_col).cast("string")
+    bucket = F.conv(F.substring(F.md5(ref), 1, 8), 16, 10).cast("long") % 2
     return df.select(
-        F.col(ref_col).cast("string").alias("media_ref"),
-        F.when(F.crc32(F.col(ref_col).cast("string")) % 2 == 0, F.lit("image/jpeg"))
-        .otherwise(F.lit("audio/wav"))
-        .alias("mime"),
+        ref.alias("media_ref"),
+        F.when(bucket == 0, F.lit("image/jpeg")).otherwise(F.lit("audio/wav")).alias("mime"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
     )

@@ -179,6 +179,75 @@ FROM iv a JOIN iv b
 WHERE LEAST(a.hi - a.lo, b.hi - b.lo) > 0
 """
 
+ORACLES["x4_find_separators"] = """
+WITH prof AS (
+  SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_line,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_para
+  FROM events GROUP BY 1
+), cand AS (
+  SELECT hour, CASE WHEN n_line > n_para THEN n_line ELSE 0 END AS cand FROM prof
+), win AS (
+  SELECT hour, cand,
+         MAX(cand) OVER (ORDER BY hour ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS localmax
+  FROM cand
+)
+SELECT hour, CAST(cand AS BIGINT) AS strength FROM win WHERE cand > 0 AND cand = localmax
+"""
+
+ORACLES["q1_elimination"] = f"""
+WITH {_TYPE_IV_CTE[1:]}
+SELECT a.user_id AS user_id, a.event_type AS event_type, a.lo AS lo, a.hi AS hi
+FROM iv a
+WHERE a.hi - a.lo >= 86400
+  AND NOT EXISTS (
+    SELECT 1 FROM iv b
+    WHERE a.user_id = b.user_id AND a.event_type <> b.event_type
+      AND a.lo + 600 > b.lo AND a.hi < b.hi + 600
+  )
+"""
+
+ORACLES["q2_interval_merge"] = f"""
+WITH {_TYPE_IV_CTE[1:]},
+flagged AS (
+  SELECT user_id, event_type, lo, hi,
+         CASE WHEN lo > MAX(hi) OVER (
+                PARTITION BY user_id ORDER BY lo, hi, event_type
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 43200
+              THEN 1 ELSE 0 END AS newgrp
+  FROM iv
+), grouped AS (
+  SELECT user_id, lo, hi,
+         CAST(SUM(newgrp) OVER (
+           PARTITION BY user_id ORDER BY lo, hi, event_type
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+  FROM flagged
+)
+SELECT user_id, grp, MIN(lo) AS m_lo, MAX(hi) AS m_hi, COUNT(*) AS n_merged
+FROM grouped GROUP BY user_id, grp
+"""
+
+ORACLES["s3_parse_points"] = """
+WITH pts AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         concat(CAST((n_chars * 1) % 97 AS VARCHAR), ',', CAST((n_chars * 2) % 89 AS VARCHAR), ' ',
+                CAST((n_chars * 3) % 97 AS VARCHAR), ',', CAST((n_chars * 4) % 89 AS VARCHAR), ' ',
+                CAST((n_chars * 5) % 97 AS VARCHAR), ',', CAST((n_chars * 6) % 89 AS VARCHAR)) AS s
+  FROM documents
+), parsed AS (
+  SELECT doc_id,
+         list_transform(string_split(s, ' '), p -> CAST(string_split(p, ',')[1] AS BIGINT)) AS xs,
+         list_transform(string_split(s, ' '), p -> CAST(string_split(p, ',')[2] AS BIGINT)) AS ys
+  FROM pts
+)
+SELECT doc_id,
+       CAST(list_aggregate(xs, 'min') AS BIGINT) AS min_x,
+       CAST(list_aggregate(xs, 'max') AS BIGINT) AS max_x,
+       CAST(list_aggregate(ys, 'min') AS BIGINT) AS min_y,
+       CAST(list_aggregate(ys, 'max') AS BIGINT) AS max_y
+FROM parsed
+"""
+
 ORACLES["p2_argmax_class"] = f"""
 WITH {_DOC_CLS_CTE}
 SELECT cls, COUNT(*) AS n FROM doc_cls GROUP BY cls
@@ -512,6 +581,34 @@ WITH bucketed AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id
 FROM ranked WHERE rn = 1
+"""
+
+# FNV-1a 64 over the first 4096 payload bytes, bit-exact vs
+# multimodal._decode_stub (hugeint arithmetic mod 2^64; the synthetic
+# payload is utf-8 of ASCII-only text, so char codes == bytes)
+ORACLES["multimodal_features"] = """
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+              THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
+         text AS t
+  FROM documents
+), fnv AS (
+  SELECT media_ref, mime, CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes,
+         CASE WHEN length(t) = 0 THEN CAST(0 AS HUGEINT) ELSE
+           list_reduce(
+             list_prepend(CAST(1469598103934665603 AS HUGEINT),
+               list_transform(range(1, least(length(t), 4096) + 1),
+                              i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+         END AS h
+  FROM media
+)
+SELECT media_ref, mime, n_bytes,
+       CASE WHEN mime LIKE 'image/%' AND n_bytes > 0 THEN CAST(16 + h % 4096 AS INT) END AS width,
+       CASE WHEN mime LIKE 'image/%' AND n_bytes > 0 THEN CAST(16 + (h // 4096) % 4096 AS INT) END AS height,
+       CAST(h % CAST('4611686018427387904' AS HUGEINT) AS BIGINT) AS feature_hash
+FROM fnv
 """
 
 ORACLES["multimodal_meta"] = """

@@ -50,35 +50,56 @@ def repartition_salted(
     docs: DataFrame,
     num_partitions: int,
     heavy_span_threshold: int = HEAVY_SPAN_THRESHOLD,
-    heavy_fraction: float = 0.25,
+    tier_masses: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Size-bucketed salted repartition (SURVEY.md §7.5 skew handling).
 
-    Light docs hash across ``num_partitions``; heavy (media-heavy skew
-    family) docs get their own partition budget so a single giant doc
-    never queues behind thousands of light ones. Both tiers salt with
+    Heavy (media-heavy skew family) docs get a partition budget
+    proportional to their measured share of total SPAN MASS, light docs
+    the rest — so expected work per partition is equal across tiers.
+    (A fixed heavy fraction is the classic mistake: on the bench corpus
+    heavy docs are 5% of rows but ~75% of spans; giving them 25% of
+    partitions made heavy tasks ~15x longer than light ones — the
+    straggler tail WAS the job wall.) Both tiers salt with
     xxhash64(doc_id) — uniform, deterministic, key-free.
+
+    ``tier_masses=(light, heavy)`` skips the measuring scan; production
+    at 10^12 docs would sample or read table statistics instead.
     """
-    heavy_parts = max(1, int(num_partitions * heavy_fraction))
     nspans = F.size(F.col("spans"))
+    if tier_masses is None:
+        row = docs.select(
+            F.sum(F.when(nspans <= heavy_span_threshold, nspans).otherwise(0)).alias("light"),
+            F.sum(F.when(nspans > heavy_span_threshold, nspans).otherwise(0)).alias("heavy"),
+        ).first()
+        tier_masses = (row.light or 0, row.heavy or 0)
+    light_mass, heavy_mass = tier_masses
+    total = light_mass + heavy_mass
+    if total == 0 or heavy_mass == 0:
+        return docs.repartition(num_partitions, F.xxhash64("doc_id"))
+    heavy_parts = min(
+        max(1, round(num_partitions * heavy_mass / total)), num_partitions - 1
+    )
+    light_parts = num_partitions - heavy_parts
     # single scan + single shuffle: salt heavy docs into their own id
-    # space past num_partitions (a filter+union would scan the corpus
-    # twice and shuffle twice)
+    # space past light_parts (a filter+union would scan the corpus twice
+    # and shuffle twice)
     salt = F.when(
         nspans > heavy_span_threshold,
-        F.lit(num_partitions) + F.pmod(F.xxhash64("doc_id"), F.lit(heavy_parts)),
-    ).otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions)))
-    return docs.repartition(num_partitions + heavy_parts, salt)
+        F.lit(light_parts) + F.pmod(F.xxhash64("doc_id"), F.lit(heavy_parts)),
+    ).otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(light_parts)))
+    return docs.repartition(num_partitions, salt)
 
 
 def run_extraction(
     docs: DataFrame,
     num_partitions: int | None = None,
     skew_salting: bool = True,
+    tier_masses: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Full pipeline: optional skew repartition + kernel."""
     if num_partitions and skew_salting:
-        docs = repartition_salted(docs, num_partitions)
+        docs = repartition_salted(docs, num_partitions, tier_masses=tier_masses)
     elif num_partitions:
         docs = docs.repartition(num_partitions, F.xxhash64("doc_id"))
     return extract(docs)

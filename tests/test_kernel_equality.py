@@ -77,6 +77,28 @@ def test_span_array_permutation_invariance(spark, corpus, golden):
     assert_matches_golden(extract(df).collect(), golden)
 
 
+def test_plan_shape(spark, corpus, tmp_path):
+    """Scale guards on the physical plan: the narrow path must contain NO
+    exchange (one doc = one row = embarrassingly parallel), the salted
+    path exactly ONE; the parquet scan must prune to (doc_id, spans)."""
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(corpus[:20], schema=DOCS_SCHEMA).write.parquet(path)
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(path)
+
+    narrow = extract(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in narrow, f"narrow path gained a shuffle:\n{narrow}"
+
+    salted = run_extraction(docs, num_partitions=8)
+    splan = salted._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("Exchange") == 1, f"salted path must shuffle once:\n{splan}"
+
+    # column pruning reaches the scan even with an extra input column
+    extra = docs.withColumn("junk", docs.doc_id)
+    plan = extract(extra.select("doc_id", "spans"))._jdf.queryExecution()
+    scan = plan.executedPlan().toString()
+    assert "junk" not in scan.split("ReadSchema")[-1]
+
+
 def test_schema_stable(spark, corpus):
     df = spark.createDataFrame(corpus[:5], schema=DOCS_SCHEMA)
     out = extract(df)
