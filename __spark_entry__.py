@@ -25,6 +25,29 @@ if _SRC not in sys.path:
 # python workers import the package by module reference (prod: --py-files)
 os.environ["PYTHONPATH"] = _SRC + os.pathsep + os.environ.get("PYTHONPATH", "")
 
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the extraction package to python workers of ANY session.
+
+    The PYTHONPATH export above only reaches workers if this module was
+    imported before the JVM launched. A driver that builds its own
+    SparkSession first (the normal harness shape) would leave workers
+    unable to import `extraction` for the mapInArrow/mapInPandas
+    queries — addPyFile distributes a freshly zipped copy instead,
+    exactly like production's --py-files."""
+    if getattr(spark, "_extraction_zip_added", False):
+        return
+    import zipfile
+
+    zip_path = os.path.join("/tmp", f"extraction_pkg_{os.getpid()}.zip")
+    pkg = os.path.join(_SRC, "extraction")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for fn in sorted(os.listdir(pkg)):
+            if fn.endswith(".py"):
+                zf.write(os.path.join(pkg, fn), os.path.join("extraction", fn))
+    spark.sparkContext.addPyFile(zip_path)
+    spark._extraction_zip_added = True
+
 # events inter-arrival median is ~7h (sf0.01), so a 6h session gap makes
 # multi-event sessions common — the downstream block predicates (P4/P5)
 # then have non-trivial hit sets instead of vacuous empty matches
@@ -658,6 +681,7 @@ def q_multimodal_features(spark, sf_dir):
     """Full mapInPandas decode path (stubbed codec). The FNV-1a header
     hash is reproduced bit-exactly by the DuckDB oracle (hugeint
     arithmetic), so this checks the whole binary->features plumbing."""
+    _ensure_pkg(spark)
     from extraction.multimodal import extract_media_features, synth_media_table
 
     d = _t(spark, sf_dir, "documents")
@@ -672,6 +696,7 @@ def q_multimodal_features(spark, sf_dir):
 def q_extract_pipeline(spark, sf_dir):
     """Flagship: full span extraction over the deterministic synthetic
     corpus (FIXTURES.md families), exploded to one row per output span."""
+    _ensure_pkg(spark)
     from extraction.corpus import corpus_df
     from extraction.pipeline import run_extraction
 
@@ -690,6 +715,7 @@ def q_extract_pipeline(spark, sf_dir):
 
 def q_extract_kind_stats(spark, sf_dir):
     """Output kind histogram of the extraction pipeline — rows-only."""
+    _ensure_pkg(spark)
     from extraction.corpus import corpus_df
     from extraction.pipeline import extract
 
