@@ -178,6 +178,24 @@ def main() -> int:
             "efficiency": round(eff, 3),
         }
 
+    # authoritative spark-submit scaling evidence (bench/scaling.py
+    # protocol, BENCH/BASELINE.md) — the in-process `scaling` block above
+    # is a quick same-harness estimate, not the protocol number
+    protocol = None
+    try:
+        with open(os.path.join(_REPO, "BENCH", "scaling.json")) as f:
+            sj = json.load(f)
+        protocol = {
+            "n_cores": sj["n_run"]["cores"],
+            "n4_cores": sj["n4_run"]["cores"],
+            "n_docs_per_sec": sj["n_run"]["docs_per_sec"],
+            "n4_docs_per_sec": sj["n4_run"]["docs_per_sec"],
+            "efficiency": sj["efficiency"],
+            "source": "BENCH/scaling.json (spark-submit protocol, best-of-3)",
+        }
+    except Exception:
+        pass
+
     total = round(sum(qtimes.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -187,6 +205,7 @@ def main() -> int:
         "sf": _sf_of(SF_DIR),
         "extract": ext_full,
         "scaling": scaling,
+        "scaling_protocol": protocol,
         "bench_wall_sec": round(time.monotonic() - t_all, 1),
     }
     print(json.dumps(out))
