@@ -231,7 +231,7 @@ that isolates the pipeline's scaling from two single-box artifacts a
 real 4N-executor cluster does not have — the box's fixed memory
 bandwidth (4N executors bring 4N x bandwidth) and neighbor noise.
 Wider pairs saturate the box: measured 4->16 efficiency lands at
-0.6-0.75 with per-run swings of 2-4x from host noise (secondary
+0.55-0.75 with per-run swings of 2-4x from host noise (secondary
 evidence, BENCH/scaling_wide.json when present).
 
 | run | master | docs | wall best (s) | all walls (s) | docs/sec |
