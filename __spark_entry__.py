@@ -371,6 +371,30 @@ def q_x1_trimmed_mean(spark, sf_dir):
     )
 
 
+def q_p7_same_size(spark, sf_dir):
+    """P7 is_almost_same_size: exact-rational 0.6 length-ratio gate
+    (merge_vertical_paragraphs.py:15-19; 3/5 in integer arithmetic)."""
+    iv = _type_intervals(spark, sf_dir)
+    a, b = iv.alias("a"), iv.alias("b")
+    la = F.col("a.hi") - F.col("a.lo") + 1
+    lb = F.col("b.hi") - F.col("b.lo") + 1
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .filter(F.greatest(la, lb) * 3 < F.least(la, lb) * 5)
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            la.cast("long").alias("len_a"),
+            lb.cast("long").alias("len_b"),
+        )
+    )
+
+
 def q_p9_regex_median(spark, sf_dir):
     """P9: regex-extract first integer + exact median per group."""
     ev = _t(spark, sf_dir, "events")
@@ -745,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_small_filter": q_p4_small_filter,
         "p5_containment": q_p5_containment,
         "p6_overlap_ratio": q_p6_overlap_ratio,
+        "p7_same_size": q_p7_same_size,
         "p9_regex_median": q_p9_regex_median,
         "q1_elimination": q_q1_elimination,
         "q2_interval_merge": q_q2_interval_merge,

@@ -248,6 +248,17 @@ SELECT doc_id,
 FROM parsed
 """
 
+ORACLES["p7_same_size"] = f"""
+WITH {_TYPE_IV_CTE[1:]}
+SELECT a.user_id AS user_id, a.event_type AS type_a, b.event_type AS type_b,
+       CAST(a.hi - a.lo + 1 AS BIGINT) AS len_a,
+       CAST(b.hi - b.lo + 1 AS BIGINT) AS len_b
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+WHERE GREATEST(a.hi - a.lo + 1, b.hi - b.lo + 1) * 3
+      < LEAST(a.hi - a.lo + 1, b.hi - b.lo + 1) * 5
+"""
+
 ORACLES["p2_argmax_class"] = f"""
 WITH {_DOC_CLS_CTE}
 SELECT cls, COUNT(*) AS n FROM doc_cls GROUP BY cls
