@@ -2,11 +2,12 @@
 
 queries() exposes every implemented operator family from SURVEY.md §2 as
 a (spark, sf_dir) -> DataFrame callable; oracle_sql() gives the DuckDB
-ANSI-SQL equivalent (same column names, same values). Extraction-pipeline
-queries that are not SQL-expressible (order-dependent per-doc semantics,
-SURVEY.md §7.5) have no oracle entry — their correctness gate is the
-pytest suite (Spark kernel vs pure-Python oracle, exact span-sequence
-equality).
+ANSI-SQL equivalent (same column names, same values). The
+extraction-pipeline queries (order-dependent per-doc semantics,
+SURVEY.md §7.5) are oracle-checked against the pure-Python spec
+materialized to parquet (oracle_materialize.py) — DuckDB selects from
+that table — in addition to the pytest suite's exact span-sequence
+equality gate.
 """
 
 from __future__ import annotations
@@ -219,6 +220,9 @@ def q_x4_find_separators(spark, sf_dir):
         .otherwise(F.lit(0))
         .cast("long"),
     )
+    # global (un-partitioned) window is safe ONLY because the axis is the
+    # 24-value hour-of-day profile — bounded regardless of corpus size.
+    # Never reuse this pattern on an unbounded axis (single-task funnel).
     w = Window.orderBy("hour").rowsBetween(-1, 1)
     return (
         cand.withColumn("localmax", F.max("cand").over(w))
@@ -348,6 +352,8 @@ def q_x3_nms(spark, sf_dir):
         .groupBy(F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("n"))
     )
+    # global window bounded by the ~days-long event time domain (tens of
+    # rows after the daily rollup) — same caveat as q_x4_find_separators
     w = Window.orderBy("day").rowsBetween(-1, 1)
     return (
         daily.withColumn("localmax", F.max("n").over(w))
@@ -507,6 +513,38 @@ def q_e5_join_mean(spark, sf_dir):
     )
 
 
+def q_p1_normalize(spark, sf_dir):
+    """P1: scalar normalize projection — the image/255 idiom on the
+    1-D axis (reference normalizes pixel arrays before the classifier,
+    src/DocumentAnalyzer.py:105-109): n_chars scaled by a constant and
+    by the per-source max."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("n_chars") / F.lit(255.0), 6).alias("norm_const"),
+        F.round(F.col("n_chars") / F.max("n_chars").over(w), 6).alias("norm_max"),
+    )
+
+
+def q_p8_extension_filter(spark, sf_dir):
+    """P8: extension filter — keep only .jpg "files" of a synthesized
+    directory listing (reference filters the input dir by suffix,
+    src/DocumentAnalyzer.py glob/endswith idiom)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    ext = (
+        F.when(did % 3 == 0, F.lit(".jpg"))
+        .when(did % 3 == 1, F.lit(".xml"))
+        .otherwise(F.lit(".txt"))
+    )
+    listing = d.select(
+        did.alias("doc_id"),
+        F.concat(F.lit("scan_"), F.col("doc_id").cast("string"), ext).alias("fname"),
+    )
+    return listing.filter(F.col("fname").endswith(".jpg")).select("doc_id", "fname")
+
+
 # --- training-data pipeline: text analysis ---
 
 def q_text_token_counts(spark, sf_dir):
@@ -649,6 +687,60 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return pairs.groupBy().agg(F.count("*").alias("n_pairs"))
 
 
+def q_dedup_lsh_degenerate(spark, sf_dir):
+    """Sentinel-bucket guard under a degenerate-heavy corpus (the 100 TB
+    hazard): a third of docs emptied, a third shortened below the shingle
+    width k=3. Without the empty-shingle exclusion in
+    minhash_lsh_candidates all ~2n/3 degenerate docs share one sentinel
+    signature — one quadratic bucket per band; with it they never enter
+    banding. n_banded counts the docs that did."""
+    from extraction.dedup import minhash_lsh_candidates
+    from extraction.textops import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    mutated = d.select(
+        F.col("doc_id"),
+        F.when(did % 3 == 0, F.lit(""))
+        .when(did % 3 == 1, F.lit("tiny doc"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    mutated = _par(spark, mutated)
+    stats = mutated.select(
+        F.size(word_shingles(F.col("text"), 3)).alias("nsh")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("nsh") > 0).cast("long")).alias("n_banded"),
+    )
+    pairs = minhash_lsh_candidates(mutated, "text", "doc_id", k=3, perms=16, bands=4)
+    return stats.crossJoin(pairs.agg(F.count("*").alias("n_candidate_pairs")))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash hamming-near pairs over documents ∪ a perturbed copy of
+    every 5th doc (one word appended, id offset +1000000) — near-pairs
+    exist by construction, and banding guarantees recall for
+    hamming ≤ bands−1 (pigeonhole)."""
+    from extraction.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    base = d.select(did.alias("id"), F.col("text"))
+    pert = d.filter(did % 5 == 0).select(
+        (did + 1000000).alias("id"),
+        F.concat(F.col("text"), F.lit(" perturbed")).alias("text"),
+    )
+    pairs = simhash_near_pairs(
+        _par(spark, base.unionAll(pert)), "text", "id", bits=32, bands=4, max_hamming=3
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").alias("hamming"),
+    )
+
+
 # --- training-data pipeline: similarity search ---
 
 def q_ann_bruteforce_top1(spark, sf_dir):
@@ -681,6 +773,49 @@ def q_ann_lsh_top1(spark, sf_dir):
     return bucketed_topk(e, q, "embedding", "vec_id", k=1, planes=4, dims=64).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+
+
+def q_ann_multiprobe_top1(spark, sf_dir):
+    """Multi-probe sign-LSH top-1: query bucket + every 1-bit-flip
+    neighbor bucket (planes+1 probes) — the recall-recovery path as
+    planes scales with corpus size."""
+    from extraction.similarity import multiprobe_topk
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 30)
+    return multiprobe_topk(e, q, "embedding", "vec_id", k=1, planes=4, dims=64).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+
+
+def q_ann_recall_at_1(spark, sf_dir):
+    """Measured accuracy trade of the ANN scale path: recall@1 of
+    single-probe and multi-probe bucketed search vs exact brute force,
+    as exact hit counts (the 100 TB design decision — planes vs recall —
+    must be measured, not assumed)."""
+    from extraction.similarity import brute_force_topk, bucketed_topk, multiprobe_topk
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 30)
+    bf = brute_force_topk(e, q, "embedding", "vec_id", k=1).select(
+        "query_id", F.col("neighbor_id").alias("bf_nid")
+    )
+    lsh = bucketed_topk(e, q, "embedding", "vec_id", k=1, planes=4, dims=64).select(
+        "query_id", F.col("neighbor_id").alias("lsh_nid")
+    )
+    mp = multiprobe_topk(e, q, "embedding", "vec_id", k=1, planes=4, dims=64).select(
+        "query_id", F.col("neighbor_id").alias("mp_nid")
+    )
+    return (
+        bf.join(lsh, "query_id", "left")
+        .join(mp, "query_id", "left")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum((F.col("lsh_nid") == F.col("bf_nid")).cast("long")).alias("lsh_hits"),
+            F.sum((F.col("mp_nid") == F.col("bf_nid")).cast("long")).alias("multiprobe_hits"),
+        )
     )
 
 
@@ -770,7 +905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_containment": q_p5_containment,
         "p6_overlap_ratio": q_p6_overlap_ratio,
         "p7_same_size": q_p7_same_size,
+        "p8_extension_filter": q_p8_extension_filter,
         "p9_regex_median": q_p9_regex_median,
+        "p1_normalize": q_p1_normalize,
         "q1_elimination": q_q1_elimination,
         "q2_interval_merge": q_q2_interval_merge,
         "s3_parse_points": q_s3_parse_points,
@@ -795,10 +932,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_lsh_degenerate": q_dedup_lsh_degenerate,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_top1": q_ann_bruteforce_top1,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_top1": q_ann_lsh_top1,
+        "ann_multiprobe_top1": q_ann_multiprobe_top1,
+        "ann_recall_at_1": q_ann_recall_at_1,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "extract_pipeline": q_extract_pipeline,
@@ -807,6 +948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from extraction.oracle_materialize import extraction_pipeline_oracles
     from extraction.oracles_sql import ORACLES
 
-    return ORACLES
+    # the extraction-pipeline oracles are the pure-Python spec
+    # (oracle.extract_doc) materialized to parquet — see
+    # oracle_materialize.py; DuckDB reads that table directly
+    return {**ORACLES, **extraction_pipeline_oracles()}

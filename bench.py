@@ -9,9 +9,12 @@ Runs the headline queries from ``__spark_entry__`` against
 
 Beyond the per-query seconds it reports the north metric
 (BASELINE.json): extraction docs/sec on the deterministic synthetic
-corpus, measured at two parallelism levels (local[N/4] and local[N])
-with ``efficiency = T(N) / (4 * T(N/4))`` — the sandbox stand-in for
-the N→4N executor scaling criterion (BASELINE.md protocol).
+corpus, measured in two separate sessions at local[SCALE_N] (default 4)
+and local[SCALE_N4] (default 16) with ``efficiency =
+docs_per_sec(N4) / ((N4/N) * docs_per_sec(N))`` — a quick in-process
+estimate of the N→4N executor scaling criterion. The authoritative
+protocol number (spark-submit, best-of-3, BENCH/BASELINE.md) is read
+from BENCH/scaling.json and reported as ``scaling_protocol``.
 
 Set SPARK_GRAFT_BENCH_SCALING=0 to skip the second (small) session and
 only report single-level throughput.
@@ -45,6 +48,14 @@ HEAVY_SPANS = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SPANS", "2000"))
 # 2-3x slower AND noisier, see BENCH/BASELINE.md).
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4"))
 SCALE_N4 = int(os.environ.get("SPARK_GRAFT_BENCH_N4", str(SCALE_N * 4)))
+
+
+def _corpus_version() -> str:
+    """Fingerprint of the corpus generator source (stale-cache guard)."""
+    import hashlib
+
+    with open(os.path.join(_SRC, "extraction", "corpus.py"), "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:8]
 
 
 def _sf_of(path: str) -> float:
@@ -94,8 +105,11 @@ def corpus_parquet(spark, n_docs: int) -> str:
     The input must come from storage, not a persisted DataFrame: a
     MEMORY_AND_DISK cache gets partially evicted by shuffle execution
     memory mid-measurement and silently re-runs corpus synthesis inside
-    the measured window (observed as a 4x slowdown at local[32])."""
-    path = f"/dev/shm/bench_corpus_{n_docs}_{HEAVY_SPANS}"
+    the measured window (observed as a 4x slowdown at local[32]).
+
+    The cache path carries a fingerprint of corpus.py so a generator
+    change can never silently reuse a stale corpus."""
+    path = f"/dev/shm/bench_corpus_{n_docs}_{HEAVY_SPANS}_{_corpus_version()}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from extraction.corpus import corpus_df
 

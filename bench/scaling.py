@@ -73,9 +73,13 @@ def gen_corpus(docs: int, heavy_spans: int, path: str) -> None:
 
 
 def run_submit(cores: int, corpus: str, workdir: str, tag: str, rep: int) -> dict:
-    """One spark-submit run at local[cores]; returns parsed metrics."""
-    out = os.path.join(workdir, f"out_{tag}")
-    lineage = os.path.join(workdir, f"lineage_{tag}")
+    """One spark-submit run at local[cores]; returns parsed metrics.
+
+    Output/lineage dirs are suffixed with the repeat index so the
+    correctness checks in verify_and_skew really cover the BEST repeat
+    (whose wall is reported), not whichever repeat ran last."""
+    out = os.path.join(workdir, f"out_{tag}_r{rep}")
+    lineage = os.path.join(workdir, f"lineage_{tag}_r{rep}")
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(lineage, ignore_errors=True)
     corpus_bytes = sum(
@@ -136,6 +140,11 @@ def best_of(cores: int, corpus: str, workdir: str, tag: str, repeats: int) -> di
     runs = [run_submit(cores, corpus, workdir, tag, r) for r in range(repeats)]
     best = min(runs, key=lambda r: r["wall_sec"])
     best["all_wall_sec"] = [r["wall_sec"] for r in runs]
+    # free the non-best repeats' outputs (tmpfs is RAM)
+    for r in runs:
+        if r["output"] != best["output"]:
+            shutil.rmtree(r["output"], ignore_errors=True)
+            shutil.rmtree(r["lineage"], ignore_errors=True)
     return best
 
 
@@ -289,7 +298,12 @@ def main() -> int:
 
     subprocess.run(["sh", os.path.join(REPO, "bench", "package.sh")], check=True)
     os.makedirs(a.workdir, exist_ok=True)
-    corpus = os.path.join(a.workdir, f"corpus_{a.docs}_{a.heavy_spans}")
+    # corpus path fingerprints the generator source (stale-cache guard)
+    import hashlib
+
+    with open(os.path.join(SRC, "extraction", "corpus.py"), "rb") as f:
+        corpus_ver = hashlib.md5(f.read()).hexdigest()[:8]
+    corpus = os.path.join(a.workdir, f"corpus_{a.docs}_{a.heavy_spans}_{corpus_ver}")
     gen_corpus(a.docs, a.heavy_spans, corpus)
 
     run_n = best_of(a.n, corpus, a.workdir, f"n{a.n}", a.repeats)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textops import fingerprint, normalize_text, word_shingles
+from .textops import fingerprint, normalize_text, simhash, word_shingles, words
 
 # MinHash parameters: h_i(x) = (A_i * (x mod P) + B_i) mod P (universal
 # hashing). 31-bit Mersenne prime keeps every intermediate < 2^62 — plain
@@ -104,12 +104,22 @@ def minhash_lsh_candidates(
     Plan shape: signature projection (narrow) → explode bands (×bands) →
     shuffle on (band, signature-slice) → in-bucket pairs. The corpus text
     never shuffles.
+
+    Degenerate docs (< k words → empty shingle set) are EXCLUDED before
+    banding: they all share the identical sentinel signature
+    [MINHASH_PRIME × perms], so at 100 TB the millions of empty/short
+    docs would land in one bucket per band and the in-bucket self-join is
+    quadratic in bucket size — a legitimate equi-key no AQE skew-split
+    fixes. Excluding them is exact: an empty shingle set has Jaccard 0
+    (or 0/0) against everything, so it can never be a near-duplicate.
+    The filter is sig[1] != PRIME — real minhash values are mod PRIME and
+    therefore strictly smaller, so the sentinel is unambiguous.
     """
     rows = perms // bands
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), k, perms).alias("sig"),
-    )
+    ).filter(F.element_at("sig", 1) != F.lit(MINHASH_PRIME))
     banded = sig.select(
         "id",
         F.explode(
@@ -136,6 +146,90 @@ def minhash_lsh_candidates(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-near pairs (id_a < id_b) via banded SimHash blocking —
+    the cheap near-dup tier of a training-data pipeline (hash-space
+    analog of the reference's pairwise-similarity family,
+    /root/reference/src/Postprocessing.py:15-17).
+
+    Plan shape mirrors minhash_lsh_candidates: narrow simhash projection
+    → explode ``bands`` (band, chunk) rows → equi self-join on
+    (band, chunk) → exact Hamming verification via
+    ``bit_count(sh_a XOR sh_b)``. Only the (id, hash) table shuffles,
+    never the corpus text.
+
+    Pigeonhole exactness: hashes with hamming ≤ ``bands − 1`` MUST agree
+    on at least one of the ``bands`` contiguous chunks, so for
+    ``max_hamming < bands`` blocking loses no pair — recall 1.0 by
+    construction, not probabilistic.
+
+    Same sentinel guard as MinHash-LSH: docs with zero words after
+    normalization (simhash 0) are excluded — at corpus scale they would
+    all collide in every band and the in-bucket join is quadratic.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(pigeonhole recall guarantee); got bands={bands}"
+        )
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            simhash(F.col(text_col), bits).alias("sh"),
+            F.size(words(normalize_text(F.col(text_col)))).alias("nw"),
+        )
+        .filter(F.col("nw") > 0)
+        .drop("nw")
+    )
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "sh", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
@@ -198,8 +292,12 @@ def lsh_verified_pairs(
     cands = minhash_lsh_candidates(df, text_col, id_col, k, perms, bands)
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # explicit broadcast of the candidate-derived side in BOTH joins
+    # (candidates ≪ corpus by construction) — the corpus/shingle table
+    # never shuffles for verification. Previously this relied on AQE's
+    # size estimate; the hint makes the claimed plan deterministic.
     scored = (
-        cands.join(a, "id_a")
+        F.broadcast(F.broadcast(cands).join(a, "id_a"))
         .join(b, "id_b")
         .select(
             "id_a",

@@ -55,7 +55,13 @@ def _decode_stub(payload: bytes, mime: str) -> tuple[int | None, int | None, int
     """
     if not payload:
         return None, None, 0
-    h = 1469598103934665603  # FNV-1a 64
+    # FNV-1a-STYLE fold with a deterministic stub seed. NOTE: the seed is
+    # NOT the real FNV-1a 64 offset basis (14695981039346656037 — a digit
+    # was dropped); it is kept as-is because the DuckDB oracle
+    # (oracles_sql.py "multimodal_features") mirrors this exact constant
+    # bit-for-bit. Anyone swapping in a real codec replaces this whole
+    # function anyway.
+    h = 1469598103934665603  # deterministic stub seed (not FNV offset basis)
     for b in payload[:4096]:  # bounded work per item, like a header parse
         h = ((h ^ b) * 1099511628211) & ((1 << 64) - 1)
     if mime.startswith("image/"):

@@ -102,8 +102,12 @@ def _same_size(b1: dict, b2: dict) -> bool:
     return max(l1, l2) * C.SAME_SIZE_NUM < min(l1, l2) * C.SAME_SIZE_DEN
 
 
-def extract_doc(spans: list[dict]) -> list[dict]:
-    """Run the full per-doc pipeline. Input/output span dicts per schema.py."""
+def merged_blocks(spans: list[dict]) -> list[dict]:
+    """Stages classify → column cuts → gap grouping → Q2 merge; returns
+    the block list BEFORE Q1 elimination. Extracted from extract_doc so
+    tests can assert structural invariants of the reachable block space
+    (e.g. the Q3 strict-containment subsumption proof,
+    tests/test_oracle.py)."""
     # --- normalize: stable sort by (offset, array position) ---
     order_in = sorted(range(len(spans)), key=lambda k: (spans[k]["offset"], k))
 
@@ -181,6 +185,12 @@ def extract_doc(spans: list[dict]) -> list[dict]:
                     continue  # re-scan from same j (next block shifted in)
                 j += 1
             i += 1
+    return blocks
+
+
+def extract_doc(spans: list[dict]) -> list[dict]:
+    """Run the full per-doc pipeline. Input/output span dicts per schema.py."""
+    blocks = merged_blocks(spans)
 
     # --- Q1 eliminate: structure mirrors src/Postprocessing.py:30-57 exactly,
     # including the quirk that a lone block is never small-checked ---

@@ -1,0 +1,107 @@
+"""Materialize the pure-Python oracle output as a parquet table.
+
+The flagship extraction queries (``extract_pipeline`` /
+``extract_kind_stats`` in __spark_entry__.py) are order-dependent per-doc
+semantics that plain ANSI SQL cannot express — but once the pure-Python
+oracle (oracle.extract_doc, THE spec the pytest suite gates on) is run
+over the same deterministic 500-doc corpus and written to parquet, the
+DuckDB side becomes a trivial SELECT over that file. This flips both
+queries from the driver's weak rows-only check to the full
+rows+schema+value-hash gate.
+
+The parquet path is versioned by the md5 of the spec sources
+(oracle.py, corpus.py, constants.py) plus the corpus parameters, so a
+semantics change can never silently compare against a stale table.
+Generation is driver-side pure Python over 500 docs (sub-second) and
+idempotent (atomic rename).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+# must match q_extract_pipeline / q_extract_kind_stats in __spark_entry__.py
+N_DOCS = 500
+HEAVY_SPANS = 300
+SEED = 42
+
+
+def _version() -> str:
+    h = hashlib.md5()
+    base = os.path.dirname(os.path.abspath(__file__))
+    for fn in ("oracle.py", "corpus.py", "constants.py"):
+        with open(os.path.join(base, fn), "rb") as f:
+            h.update(f.read())
+    h.update(f"{N_DOCS}:{HEAVY_SPANS}:{SEED}".encode())
+    return h.hexdigest()[:12]
+
+
+def oracle_parquet_path() -> str:
+    """Generate (once) and return the oracle-output parquet path.
+
+    Schema mirrors q_extract_pipeline's posexplode_outer output exactly:
+    (doc_id, kind, text, media_ref, order); a doc whose extraction output
+    is empty contributes ONE all-null row (posexplode_outer semantics).
+    """
+    path = f"/tmp/extraction_oracle_{_version()}.parquet"
+    if os.path.exists(path):
+        return path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .corpus import gen_corpus
+    from .oracle import extract_doc
+
+    doc_ids: list[str] = []
+    kinds: list[str | None] = []
+    texts: list[str | None] = []
+    refs: list[str | None] = []
+    orders: list[int | None] = []
+    for doc_id, spans in gen_corpus(N_DOCS, seed=SEED, heavy_spans=HEAVY_SPANS):
+        out = extract_doc(spans)
+        if not out:
+            doc_ids.append(doc_id)
+            kinds.append(None)
+            texts.append(None)
+            refs.append(None)
+            orders.append(None)
+            continue
+        for s in out:
+            doc_ids.append(doc_id)
+            kinds.append(s["kind"])
+            texts.append(s["text"])
+            refs.append(s["media_ref"])
+            orders.append(s["order"])
+
+    table = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+            "order": pa.array(orders, pa.int32()),
+        }
+    )
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic: concurrent callers race harmlessly
+    return path
+
+
+def extraction_pipeline_oracles() -> dict[str, str]:
+    """DuckDB oracle SQL for the two extraction-pipeline driver queries."""
+    path = oracle_parquet_path()
+    return {
+        "extract_pipeline": f"""
+SELECT doc_id, kind, text, media_ref, "order"
+FROM read_parquet('{path}')
+""",
+        "extract_kind_stats": f"""
+SELECT kind, COUNT(*) AS n
+FROM read_parquet('{path}')
+WHERE kind IS NOT NULL
+GROUP BY kind
+""",
+    }

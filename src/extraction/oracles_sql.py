@@ -464,7 +464,10 @@ SELECT doc_id, {_minhash_cols(4)}
 FROM hashed
 """
 
-# 16 perms in 4 bands of 4 rows over k=3 shingles (selective on this corpus)
+# 16 perms in 4 bands of 4 rows over k=3 shingles (selective on this corpus).
+# Docs with an empty shingle set are excluded before banding (mirror of the
+# sentinel-bucket guard in dedup.minhash_lsh_candidates: empty-shingle docs
+# all share the sentinel signature and can never be Jaccard near-dups).
 _MH16 = _minhash_cols(16)
 _LSH_JOINS = "\nUNION\n".join(
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b"
@@ -482,7 +485,7 @@ sh AS (
          list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hashes
   FROM sh
 ), sig AS (
-  SELECT doc_id, {_MH16} FROM hashed
+  SELECT doc_id, {_MH16} FROM hashed WHERE len(hashes) > 0
 ), pairs AS (
 {_LSH_JOINS}
 )
@@ -530,7 +533,7 @@ sh AS (
          list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hashes
   FROM sh
 ), sig AS (
-  SELECT doc_id, {_MH16} FROM hashed
+  SELECT doc_id, {_MH16} FROM hashed WHERE len(hashes) > 0
 ), pairs AS (
 {_LSH_JOINS}
 ), scored AS (
@@ -594,9 +597,11 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neig
 FROM ranked WHERE rn = 1
 """
 
-# FNV-1a 64 over the first 4096 payload bytes, bit-exact vs
+# FNV-1a-style fold over the first 4096 payload bytes, bit-exact vs
 # multimodal._decode_stub (hugeint arithmetic mod 2^64; the synthetic
-# payload is utf-8 of ASCII-only text, so char codes == bytes)
+# payload is utf-8 of ASCII-only text, so char codes == bytes). The seed
+# 1469598103934665603 is a deterministic stub constant, NOT the real
+# FNV-1a 64 offset basis (14695981039346656037) — see _decode_stub.
 ORACLES["multimodal_features"] = """
 WITH media AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_ref,
@@ -620,6 +625,161 @@ SELECT media_ref, mime, n_bytes,
        CASE WHEN mime LIKE 'image/%' AND n_bytes > 0 THEN CAST(16 + (h // 4096) % 4096 AS INT) END AS height,
        CAST(h % CAST('4611686018427387904' AS HUGEINT) AS BIGINT) AS feature_hash
 FROM fnv
+"""
+
+ORACLES["p1_normalize"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(CAST(n_chars AS DOUBLE) / 255.0, 6) AS norm_const,
+       round(CAST(n_chars AS DOUBLE)
+             / CAST(MAX(n_chars) OVER (PARTITION BY source) AS DOUBLE), 6) AS norm_max
+FROM documents
+"""
+
+ORACLES["p8_extension_filter"] = """
+WITH listing AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         concat('scan_', CAST(doc_id AS VARCHAR),
+                CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN '.jpg'
+                     WHEN CAST(doc_id AS BIGINT) % 3 = 1 THEN '.xml'
+                     ELSE '.txt' END) AS fname
+  FROM documents
+)
+SELECT doc_id, fname FROM listing WHERE fname LIKE '%.jpg'
+"""
+
+# degenerate-heavy corpus: 1/3 emptied, 1/3 below shingle width — the
+# sentinel guard must keep them out of banding (n_banded) and the pair
+# count bounded by the real-text third
+_MDOCS_CTE = """
+mdocs AS (
+  SELECT doc_id,
+         CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN ''
+              WHEN CAST(doc_id AS BIGINT) % 3 = 1 THEN 'tiny doc'
+              ELSE text END AS text
+  FROM documents
+)"""
+
+ORACLES["dedup_lsh_degenerate"] = f"""
+WITH {_MDOCS_CTE[1:]},
+{_NORM_WORDS_CTE.replace("FROM documents", "FROM mdocs")[1:]},
+{_WS_CTE[1:]},
+sh AS (
+  SELECT doc_id, {_shingles_expr(3)} AS shingles FROM wsed
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hashes
+  FROM sh
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN len(shingles) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_banded
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_MH16} FROM hashed WHERE len(hashes) > 0
+), pairs AS (
+{_LSH_JOINS}
+), pcount AS (
+  SELECT COUNT(*) AS n_candidate_pairs FROM pairs
+)
+SELECT stats.n_docs AS n_docs, stats.n_banded AS n_banded,
+       pcount.n_candidate_pairs AS n_candidate_pairs
+FROM stats, pcount
+"""
+
+# simhash banding: 4 chunks of 8 bits; hamming <= 3 pairs must share a
+# chunk (pigeonhole), so the 4-way UNION of chunk equi-joins is lossless
+_SIMHASH_BAND_JOINS = "\nUNION\n".join(
+    "SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b"
+    " FROM sims a JOIN sims b"
+    f" ON (a.sh >> {8 * b_}) & 255 = (b.sh >> {8 * b_}) & 255 AND a.id < b.id"
+    for b_ in range(4)
+)
+
+ORACLES["dedup_simhash_pairs"] = f"""
+WITH docs2 AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000 AS id, text || ' perturbed' AS text
+  FROM documents WHERE CAST(doc_id AS BIGINT) % 5 = 0
+), norm AS (
+  SELECT id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS t
+  FROM docs2
+), w AS (
+  SELECT id,
+         unnest(list_distinct(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> ''))) AS word
+  FROM norm
+), h AS (
+  SELECT id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM w
+), votes AS (
+  SELECT id, {_SIMHASH_VOTES}
+  FROM h GROUP BY id
+), sims AS (
+  -- inner (not left) over votes: docs with zero words never reach
+  -- banding — mirror of simhash_near_pairs' sentinel guard
+  SELECT id, CAST({_SIMHASH_SUM} AS BIGINT) AS sh FROM votes
+), pairs AS (
+{_SIMHASH_BAND_JOINS}
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+ORACLES["ann_multiprobe_top1"] = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_expr("embedding")} AS bucket FROM embeddings
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+  FROM bucketed WHERE vec_id < 30
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_cosine_expr("p.qv", "c.embedding")} AS cos_sim
+  FROM probes p JOIN bucketed c ON p.probe = c.bucket AND p.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id
+FROM ranked WHERE rn = 1
+"""
+
+ORACLES["ann_recall_at_1"] = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_expr("embedding")} AS bucket FROM embeddings
+), bf AS (
+  SELECT query_id, neighbor_id AS bf_nid FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cosine_expr("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 30
+  ) WHERE rn = 1
+), lsh AS (
+  SELECT query_id, neighbor_id AS lsh_nid FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cosine_expr("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+    FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 30
+  ) WHERE rn = 1
+), mp AS (
+  SELECT query_id, neighbor_id AS mp_nid FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {_cosine_expr("p.qv", "c.embedding")} DESC, c.vec_id ASC) AS rn
+    FROM (
+      SELECT vec_id AS query_id, embedding AS qv,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+      FROM bucketed WHERE vec_id < 30
+    ) p JOIN bucketed c ON p.probe = c.bucket AND p.query_id <> c.vec_id
+  ) WHERE rn = 1
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN lsh.lsh_nid = bf.bf_nid THEN 1 END) AS BIGINT) AS lsh_hits,
+       CAST(SUM(CASE WHEN mp.mp_nid = bf.bf_nid THEN 1 END) AS BIGINT) AS multiprobe_hits
+FROM bf LEFT JOIN lsh USING (query_id) LEFT JOIN mp USING (query_id)
 """
 
 ORACLES["multimodal_meta"] = """

@@ -75,7 +75,9 @@ def repartition_salted(
         tier_masses = (row.light or 0, row.heavy or 0)
     light_mass, heavy_mass = tier_masses
     total = light_mass + heavy_mass
-    if total == 0 or heavy_mass == 0:
+    # < 2 partitions leaves no room for a separate heavy tier (and
+    # heavy_parts could reach 0 → pmod by zero in the salt expression)
+    if total == 0 or heavy_mass == 0 or num_partitions < 2:
         return docs.repartition(num_partitions, F.xxhash64("doc_id"))
     heavy_parts = min(
         max(1, round(num_partitions * heavy_mass / total)), num_partitions - 1

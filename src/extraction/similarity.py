@@ -4,10 +4,14 @@
   baseline/verifier. At scale the small query side MUST broadcast —
   F.broadcast() is applied so the corpus never shuffles.
 - sign_lsh_bucket / bucketed_topk: random-hyperplane LSH scale path.
-  Hyperplanes are deterministic ±1 sign patterns derived from md5 bits,
-  so bucket assignment is reproducible in ANSI SQL. Probing cost drops
-  from O(n·q) to O(q · n / 2^planes) per bucket; recall traded via
-  number of planes (and multi-probe if needed).
+  Hyperplanes are deterministic ±1 sign patterns derived from splitmix
+  bits, so bucket assignment is reproducible in ANSI SQL. Probing cost
+  drops from O(n·q) to O(q · n / 2^planes) per bucket; recall traded via
+  number of planes.
+- multiprobe_topk: 1-bit-flip multi-probe — recovers the recall lost at
+  hyperplane boundaries for (planes+1)× probe cost. The measured
+  recall/cost trade lives in BENCH/ANN.md (tools/ann_recall.py); the
+  recall computation itself is oracle-checked (ann_recall_at_1).
 
 Everything is built-in expressions (zip_with/aggregate) — JVM-side,
 no Python in the hot path.
@@ -64,6 +68,65 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
         "qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim")
     )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 1,
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """ANN top-k probing the query's bucket PLUS every 1-bit-flip
+    neighbor bucket (``planes + 1`` probes per query).
+
+    Sign-LSH loses recall exactly when a true neighbor sits on the other
+    side of ONE hyperplane; flipping each bucket bit probes those
+    adjacent cells and recovers most of that loss for (planes+1)× the
+    in-bucket probe cost — still O(n·q·(planes+1)/2^planes) vs the
+    brute-force O(n·q). Scaling ``planes`` with corpus size keeps
+    buckets bounded; multi-probe keeps recall as planes grows.
+
+    Each corpus vector lives in exactly one bucket and the probe set is
+    distinct, so no (query, neighbor) pair is scored twice — no dedup
+    shuffle needed. The exploded query side broadcasts; the corpus never
+    shuffles.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        sign_lsh_bucket(F.col(vec_col), planes, dims).alias("cb"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        sign_lsh_bucket(F.col(vec_col), planes, dims).alias("qb"),
+    )
+    qp = q.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+            )
+        ).alias("probe"),
+    )
+    scored = c.join(
+        F.broadcast(qp), (F.col("probe") == F.col("cb")) & (F.col("qid") != F.col("nid"))
+    ).select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

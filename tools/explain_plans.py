@@ -101,7 +101,33 @@ def main() -> int:
         },
     )
 
-    from extraction.similarity import brute_force_topk
+    from extraction.dedup import (
+        embedding_neardup_pairs,
+        minhash_lsh_candidates,
+        simhash_near_pairs,
+    )
+
+    p = plan_of(minhash_lsh_candidates(d, "text", "doc_id", k=3, perms=16, bands=4))
+    check(
+        "dedup minhash_lsh_candidates (banded equi self-join)",
+        p,
+        {
+            "no cartesian / nested-loop join": "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        },
+    )
+
+    p = plan_of(simhash_near_pairs(d, "text", "doc_id", bits=32, bands=4, max_hamming=3))
+    check(
+        "dedup simhash_near_pairs (banded chunk equi self-join)",
+        p,
+        {
+            "no cartesian / nested-loop join": "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        },
+    )
+
+    from extraction.similarity import brute_force_topk, bucketed_topk, multiprobe_topk
 
     q = e.filter(F.col("vec_id") < 30)
     p = plan_of(brute_force_topk(e, q, "embedding", "vec_id", k=1))
@@ -111,6 +137,41 @@ def main() -> int:
         {
             "query side broadcast": "BroadcastNestedLoopJoin" in p
             or "BroadcastHashJoin" in p,
+        },
+    )
+
+    p = plan_of(bucketed_topk(e, q, "embedding", "vec_id", k=1, planes=4, dims=64))
+    check(
+        "ann bucketed_topk (bucket equi-join, broadcast queries)",
+        p,
+        {
+            "query side broadcast": "BroadcastHashJoin" in p,
+            "no cartesian": "CartesianProduct" not in p,
+        },
+    )
+
+    p = plan_of(multiprobe_topk(e, q, "embedding", "vec_id", k=1, planes=4, dims=64))
+    check(
+        "ann multiprobe_topk (probe-bucket equi-join, broadcast probes)",
+        p,
+        {
+            "probe side broadcast": "BroadcastHashJoin" in p,
+            "no cartesian": "CartesianProduct" not in p,
+        },
+    )
+
+    from extraction.similarity import sign_lsh_bucket
+
+    eb = e.withColumn("bucket", sign_lsh_bucket(F.col("embedding"), planes=4, dims=64))
+    p = plan_of(
+        embedding_neardup_pairs(eb, "embedding", "vec_id", threshold=0.5, block_col="bucket")
+    )
+    check(
+        "dedup embedding_neardup_pairs (bucket-blocked equi self-join)",
+        p,
+        {
+            "no cartesian / nested-loop join": "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
         },
     )
 
