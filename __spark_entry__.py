@@ -140,6 +140,24 @@ def q_p4_small_filter(spark, sf_dir):
     )
 
 
+def q_g4_scale_clip(spark, sf_dir):
+    """G4: scale + clip block extents — the reference rescales mask-space
+    bboxes to page pixel space and clips to the page bounds
+    (src/DocumentAnalyzer.py:77-103). 1-D analog: session extents scaled
+    ×3 around their start and clipped to a fixed 24 h window, exact
+    integer arithmetic."""
+    cap = 86400
+    b = _session_blocks(spark, sf_dir)
+    scaled_end = F.col("t_min") + (F.col("t_max") - F.col("t_min")) * 3
+    return b.select(
+        "user_id",
+        "session_id",
+        F.col("t_min").alias("lo"),
+        F.least(scaled_end, F.col("t_min") + F.lit(cap)).cast("long").alias("hi_clipped"),
+        (scaled_end > F.col("t_min") + F.lit(cap)).cast("long").alias("was_clipped"),
+    )
+
+
 def _type_intervals(spark, sf_dir) -> DataFrame:
     """Per-(user, event_type) time extents — overlapping intervals, unlike
     same-user sessions which are disjoint by construction."""
@@ -790,6 +808,25 @@ def q_ann_multiprobe_top1(spark, sf_dir):
     )
 
 
+def q_ann_ivf_top1(spark, sf_dir):
+    """IVF-flat top-1: nearest-centroid inverted lists, probe own list
+    only. Centroids = the first 8 corpus vectors (deterministic stand-in
+    for offline-trained k-means centroids — the collect is the
+    model-artifact load, 8 rows, not a data path)."""
+    from extraction.similarity import ivf_topk
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    cents = [
+        list(r.embedding)
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    q = e.filter(F.col("vec_id") < 30)
+    return ivf_topk(e, q, "embedding", "vec_id", centroids=cents, k=1).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+
+
 def q_ann_recall_at_1(spark, sf_dir):
     """Measured accuracy trade of the ANN scale path: recall@1 of
     single-probe and multi-probe bucketed search vs exact brute force,
@@ -899,6 +936,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_sessionize": q_g1_sessionize,
+        "g4_scale_clip": q_g4_scale_clip,
         "p2_argmax_class": q_p2_argmax_class,
         "p3_class_strip": q_p3_class_strip,
         "p4_small_filter": q_p4_small_filter,
@@ -939,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_top1": q_ann_lsh_top1,
         "ann_multiprobe_top1": q_ann_multiprobe_top1,
+        "ann_ivf_top1": q_ann_ivf_top1,
         "ann_recall_at_1": q_ann_recall_at_1,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,

@@ -112,14 +112,20 @@ def minhash_lsh_candidates(
     quadratic in bucket size — a legitimate equi-key no AQE skew-split
     fixes. Excluding them is exact: an empty shingle set has Jaccard 0
     (or 0/0) against everything, so it can never be a near-duplicate.
-    The filter is sig[1] != PRIME — real minhash values are mod PRIME and
-    therefore strictly smaller, so the sentinel is unambiguous.
+
+    The guard filters on the word count BEFORE the signature projection.
+    (Filtering on sig[1] != PRIME after it reads nicer, but Catalyst
+    pushes the filter below the projection by substituting the alias —
+    the whole minhash fold then runs TWICE per row; measured +60% on the
+    signature stage. The word-count predicate costs one normalize+split.)
     """
     rows = perms // bands
-    sig = df.select(
+    sig = df.filter(
+        F.size(words(normalize_text(F.col(text_col)))) >= F.lit(k)
+    ).select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), k, perms).alias("sig"),
-    ).filter(F.element_at("sig", 1) != F.lit(MINHASH_PRIME))
+    )
     banded = sig.select(
         "id",
         F.explode(
@@ -183,14 +189,13 @@ def simhash_near_pairs(
         )
     chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            simhash(F.col(text_col), bits).alias("sh"),
-            F.size(words(normalize_text(F.col(text_col)))).alias("nw"),
-        )
-        .filter(F.col("nw") > 0)
-        .drop("nw")
+    # word-count guard BEFORE the projection (same pushdown-duplication
+    # trap as in minhash_lsh_candidates — see that docstring)
+    base = df.filter(
+        F.size(words(normalize_text(F.col(text_col)))) > 0
+    ).select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits).alias("sh"),
     )
     banded = base.select(
         "id",
@@ -281,21 +286,33 @@ def lsh_verified_pairs(
     """Near-dup pairs, the 100 TB shape: LSH candidates → exact Jaccard
     verification of candidates ONLY (all-pairs verification is O(n²)).
 
-    The candidate table is tiny relative to the corpus, so both
-    verification joins broadcast it; exact intersection is a per-pair
-    ``array_intersect`` over the (distinct) shingle arrays.
+    Shingles for verification are computed ONLY for docs that appear in
+    some candidate pair: the distinct candidate-id set broadcasts as a
+    semi-join filter against the corpus, so the (expensive)
+    normalize+shingle expression runs over the tiny candidate population
+    instead of the full corpus — at 100 TB that is the difference
+    between re-tokenizing everything twice and touching a few permille.
+    All verification joins explicitly broadcast the candidate-derived
+    side; the corpus never shuffles.
     """
-    sh = df.select(
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, perms, bands)
+    # explode(array(..)) instead of union-of-projections: a union would
+    # embed TWO copies of the candidate subtree in the plan (three with
+    # the verify join below); with explode the tree references cands
+    # exactly twice and AQE's exchange-reuse dedupes the band-join
+    # shuffles at runtime (asserted by tools/explain_plans.py).
+    need = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .distinct()
+    )
+    sh = df.join(
+        F.broadcast(need), F.col(id_col) == F.col("id"), "left_semi"
+    ).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     )
-    cands = minhash_lsh_candidates(df, text_col, id_col, k, perms, bands)
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    # explicit broadcast of the candidate-derived side in BOTH joins
-    # (candidates ≪ corpus by construction) — the corpus/shingle table
-    # never shuffles for verification. Previously this relied on AQE's
-    # size estimate; the hint makes the claimed plan deterministic.
     scored = (
         F.broadcast(F.broadcast(cands).join(a, "id_a"))
         .join(b, "id_b")

@@ -143,6 +143,14 @@ WITH {_sessions_cte(SESSION_GAP_S)}
 SELECT user_id, session_id, t_min, t_max, n_events FROM blocks_sess
 """
 
+ORACLES["g4_scale_clip"] = f"""
+WITH {_sessions_cte(SESSION_GAP_S)}
+SELECT user_id, session_id, t_min AS lo,
+       CAST(LEAST(t_min + (t_max - t_min) * 3, t_min + 86400) AS BIGINT) AS hi_clipped,
+       CAST(CASE WHEN t_min + (t_max - t_min) * 3 > t_min + 86400 THEN 1 ELSE 0 END AS BIGINT) AS was_clipped
+FROM blocks_sess
+"""
+
 ORACLES["p4_small_filter"] = f"""
 WITH {_sessions_cte(SESSION_GAP_S)}
 SELECT user_id, session_id, n_events FROM blocks_sess WHERE n_events >= 5
@@ -736,6 +744,32 @@ WITH bucketed AS (
   SELECT p.query_id, c.vec_id AS neighbor_id,
          {_cosine_expr("p.qv", "c.embedding")} AS cos_sim
   FROM probes p JOIN bucketed c ON p.probe = c.bucket AND p.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id
+FROM ranked WHERE rn = 1
+"""
+
+ORACLES["ann_ivf_top1"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, lst FROM (
+    SELECT e.vec_id, c.cid AS lst,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cosine_expr("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), listed AS (
+  SELECT e.vec_id, e.embedding, a.lst FROM embeddings e JOIN assigned a USING (vec_id)
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cosine_expr("q.embedding", "c.embedding")} AS cos_sim
+  FROM listed q JOIN listed c ON q.lst = c.lst AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 30
 ), ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn

@@ -80,6 +80,65 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    k: int = 1,
+) -> DataFrame:
+    """IVF-flat ANN: every vector is assigned to its nearest centroid
+    (its "inverted list"); a query probes ONLY its own list — the
+    partition-pruned alternative to sign-LSH bucketing.
+
+    ``centroids`` arrive as plain Python lists: the trained-offline model
+    artifact a production pipeline ships to every executor (here they are
+    compiled into the plan as literals — same thing at 8–64k centroids).
+    Assignment is a narrow argmax expression over the per-centroid cosine
+    — greatest + chained when, NO shuffle, lowest index wins ties — so
+    corpus-side cost is one pass; the only shuffle is the equi-join on
+    the list id, exactly like ``bucketed_topk``. Recall is governed by
+    the centroid count and probe width, measured with tools/ann_recall.py
+    discipline rather than assumed.
+    """
+
+    def assign(vec):
+        coss = [
+            cosine_sim(vec, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+        best = F.greatest(*coss)
+        expr = F.lit(len(centroids) - 1).cast("long")
+        for i in reversed(range(len(centroids) - 1)):
+            expr = F.when(coss[i] == best, F.lit(i).cast("long")).otherwise(expr)
+        return expr
+
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        assign(F.col(vec_col)).alias("cl"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        assign(F.col(vec_col)).alias("ql"),
+    )
+    scored = c.join(
+        F.broadcast(q), (F.col("ql") == F.col("cl")) & (F.col("qid") != F.col("nid"))
+    ).select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def multiprobe_topk(
     corpus: DataFrame,
     queries: DataFrame,

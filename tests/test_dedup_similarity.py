@@ -1,0 +1,128 @@
+"""Operator-level tests for the dedup / similarity family (SURVEY.md §2.10).
+
+The driver queries already value-hash-check these against DuckDB; this
+file tests the PROPERTIES the oracle comparison can't see — blocking
+recall guarantees, degenerate-doc guards, probe-set monotonicity —
+against brute-force recomputation on small fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from extraction.dedup import (
+    MINHASH_PRIME,
+    minhash_lsh_candidates,
+    minhash_signature,
+    simhash_near_pairs,
+)
+from extraction.similarity import brute_force_topk, bucketed_topk, multiprobe_topk
+from extraction.textops import simhash
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+FIXTURE = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 0
+    (2, "totally different words compose this other document here"),
+    (3, "totally different words compose this other document there"),  # near-dup of 2
+    (4, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+    (5, ""),  # degenerate: empty
+    (6, "tiny doc"),  # degenerate: < 3 words
+    (7, "word"),  # degenerate: 1 word
+]
+
+
+# --- degenerate-doc guards (the 100 TB sentinel-bucket hazard) ---
+
+def test_lsh_excludes_empty_shingle_docs(spark):
+    d = _docs(spark, FIXTURE)
+    pairs = minhash_lsh_candidates(d, "text", "id", k=3, perms=16, bands=4).collect()
+    ids_in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert not ids_in_pairs & {5, 6, 7}, "degenerate docs must never enter banding"
+    # the exact dup and the near-dups must still be found
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 4) in got
+    assert (0, 1) in got or (2, 3) in got
+
+
+def test_sentinel_signature_is_unreachable_for_real_docs(spark):
+    d = _docs(spark, [r for r in FIXTURE if len(r[1].split()) >= 3])
+    sigs = d.select(minhash_signature(F.col("text"), k=3, perms=4).alias("s")).collect()
+    for r in sigs:
+        assert all(v < MINHASH_PRIME for v in r.s)
+    # and degenerate docs DO get the sentinel
+    deg = _docs(spark, [(5, ""), (6, "tiny doc")])
+    sigs = deg.select(minhash_signature(F.col("text"), k=3, perms=4).alias("s")).collect()
+    for r in sigs:
+        assert all(v == MINHASH_PRIME for v in r.s)
+
+
+def test_simhash_pairs_exclude_wordless_docs(spark):
+    d = _docs(spark, FIXTURE + [(8, "...!!!")])  # normalizes to zero words
+    pairs = simhash_near_pairs(d, "text", "id", bits=32, bands=4, max_hamming=3)
+    ids = {r.id_a for r in pairs.collect()} | {r.id_b for r in pairs.collect()}
+    assert 5 not in ids and 8 not in ids
+
+
+# --- pigeonhole recall guarantee of banded simhash blocking ---
+
+def test_simhash_banding_is_lossless_for_small_hamming(spark):
+    # brute-force ground truth: ALL pairs with hamming <= 3, computed
+    # from the raw hashes driver-side
+    rows = [r for r in FIXTURE if r[1].strip()]
+    d = _docs(spark, rows)
+    hashes = {
+        r.id: r.sh
+        for r in d.select("id", simhash(F.col("text"), 32).alias("sh")).collect()
+    }
+    want = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(hashes[a] ^ hashes[b]).count("1") <= 3:
+                want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(
+            d, "text", "id", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == want  # recall 1.0 AND no false positives after verify
+
+
+def test_simhash_pairs_rejects_unguaranteed_params(spark):
+    d = _docs(spark, FIXTURE[:2])
+    with pytest.raises(ValueError):
+        simhash_near_pairs(d, "text", "id", bits=32, bands=4, max_hamming=4)
+
+
+# --- ANN probe-set monotonicity ---
+
+def test_multiprobe_dominates_single_probe(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = {
+        r.query_id: r.neighbor_id
+        for r in brute_force_topk(emb, q, "embedding", "vec_id", k=1).collect()
+    }
+    single = {
+        r.query_id: r.neighbor_id
+        for r in bucketed_topk(emb, q, "embedding", "vec_id", k=1, planes=4).collect()
+    }
+    multi = {
+        r.query_id: r.neighbor_id
+        for r in multiprobe_topk(emb, q, "embedding", "vec_id", k=1, planes=4).collect()
+    }
+    # multi-probe scans a superset of each query's candidates: it must
+    # answer at least every query single-probe answers, and its recall
+    # can only be >= single-probe's
+    assert set(single) <= set(multi)
+    hits_single = sum(1 for k_, v in single.items() if bf.get(k_) == v)
+    hits_multi = sum(1 for k_, v in multi.items() if bf.get(k_) == v)
+    assert hits_multi >= hits_single

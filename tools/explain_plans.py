@@ -92,12 +92,25 @@ def main() -> int:
 
     from extraction.dedup import lsh_verified_pairs
 
-    p = plan_of(lsh_verified_pairs(d, "text", "doc_id", k=3, perms=16, bands=4))
+    lv = lsh_verified_pairs(d, "text", "doc_id", k=3, perms=16, bands=4)
+    p = plan_of(lv)
+    # ReusedExchange only materializes in the FINAL adaptive plan — AQE
+    # dedupes identical exchanges at runtime, so execute first, then read
+    # the executed plan (the static plan shows the duplicated subtrees).
+    # collect(), not count(): count() builds a SEPARATE query execution
+    # and leaves lv's own plan unexecuted (isFinalPlan=false).
+    lv.collect()
+    final = lv._jdf.queryExecution().executedPlan().toString()
     check(
-        "dedup lsh_verified (band join -> broadcast verify)",
+        "dedup lsh_verified (band join -> semi-join-pruned broadcast verify)",
         p,
         {
             "verification joins broadcast the candidate side": "BroadcastHashJoin" in p,
+            # the candidate subtree feeds both the verify join AND the
+            # shingle semi-join filter; the shuffle must be computed once
+            "candidate exchanges reused, not recomputed (final AQE plan)": (
+                "ReusedExchange" in final
+            ),
         },
     )
 
