@@ -514,6 +514,60 @@ def q_t6_topk_per_group(spark, sf_dir):
     )
 
 
+def q_t3_weighted_sample(spark, sf_dir):
+    """T3: weighted + uniform sampling (src/train_detector.py:129-175 —
+    half the batch drawn ``np.random.choice(p=probs)``, half uniform).
+
+    Spark-first deterministic analog: Poisson PPS sampling. Every doc
+    carries a portable pseudo-uniform u = first-8-hex(md5(doc_id||arm))
+    ∈ [0, 2^32); it is selected in the weighted arm iff
+    ``u · W < k_w · w · 2^32`` (selection probability min(1, k_w·w/W),
+    expected sample size ≈ k_w) and in the uniform arm iff
+    ``u' · n < k_u · 2^32``. The cross-multiplication runs in
+    decimal(38,0) (HUGEINT on the DuckDB side) so the predicate is exact
+    integer arithmetic at any corpus size — no transcendentals, no
+    engine-dependent rounding. Plan shape: one scalar aggregate
+    broadcast into a narrow filter — no global sort, no window, nothing
+    that funnels rows to one task at 100 TB (unlike cumsum-inversion
+    systematic sampling, which needs a global order)."""
+    d = _t(spark, sf_dir, "documents")
+    k_w, k_u, two32 = 300, 200, 4294967296
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    def u32(arm):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(arm))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    w = (F.col("n_chars") + F.lit(1)).cast("long")
+    tot = d.agg(
+        F.sum(F.col("n_chars") + F.lit(1)).cast("long").alias("w_total"),
+        F.count("*").alias("n_docs"),
+    )
+    in_w = (dec(u32("w")) * dec(F.col("w_total"))) < (
+        dec(F.lit(k_w)) * dec(w) * dec(F.lit(two32))
+    )
+    in_u = (dec(u32("u")) * dec(F.col("n_docs"))) < (
+        dec(F.lit(k_u)) * dec(F.lit(two32))
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            w.alias("weight"),
+            in_w.cast("long").alias("in_weighted"),
+            in_u.cast("long").alias("in_uniform"),
+        )
+        .filter((F.col("in_weighted") == 1) | (F.col("in_uniform") == 1))
+    )
+
+
 def q_e5_join_mean(spark, sf_dir):
     """E5/T4: filename-style equi-join of two derived tables + mean metric."""
     d = _t(spark, sf_dir, "documents")
@@ -958,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_join_mean": q_e5_join_mean,
         "t1_conditional_score": q_t1_conditional_score,
         "t2_normalize": q_t2_normalize,
+        "t3_weighted_sample": q_t3_weighted_sample,
         "t5_group_split": q_t5_group_split,
         "t6_topk_per_group": q_t6_topk_per_group,
         "text_token_counts": q_text_token_counts,

@@ -190,6 +190,13 @@ def main() -> int:
             "n_docs_per_sec": ext_small["docs_per_sec"],
             "n4_docs_per_sec": ext_full["docs_per_sec"],
             "efficiency": round(eff, 3),
+            "note": (
+                "in-process estimate on the SATURATED wide pair "
+                f"(local[{SCALE_N}] vs local[{SCALE_N4}] keeps ~{2 * SCALE_N4} "
+                "of 32 vCPUs busy — measures the box's bandwidth ceiling, "
+                "not the pipeline); scaling_protocol is the authoritative "
+                "north-rule number"
+            ),
         }
 
     # authoritative spark-submit scaling evidence (bench/scaling.py

@@ -136,8 +136,7 @@ def run_submit(cores: int, corpus: str, workdir: str, tag: str, rep: int) -> dic
     }
 
 
-def best_of(cores: int, corpus: str, workdir: str, tag: str, repeats: int) -> dict:
-    runs = [run_submit(cores, corpus, workdir, tag, r) for r in range(repeats)]
+def pick_best(runs: list) -> dict:
     best = min(runs, key=lambda r: r["wall_sec"])
     best["all_wall_sec"] = [r["wall_sec"] for r in runs]
     # free the non-best repeats' outputs (tmpfs is RAM)
@@ -146,6 +145,10 @@ def best_of(cores: int, corpus: str, workdir: str, tag: str, repeats: int) -> di
             shutil.rmtree(r["output"], ignore_errors=True)
             shutil.rmtree(r["lineage"], ignore_errors=True)
     return best
+
+
+def best_of(cores: int, corpus: str, workdir: str, tag: str, repeats: int) -> dict:
+    return pick_best([run_submit(cores, corpus, workdir, tag, r) for r in range(repeats)])
 
 
 def verify_and_skew(run_n: dict, run_n4: dict, sample: int) -> dict:
@@ -294,6 +297,15 @@ def main() -> int:
         help="suffix for BENCH/scaling<label>.json; non-empty skips the "
              "BASELINE.md report (secondary-evidence runs)",
     )
+    p.add_argument(
+        "--interleave", action="store_true",
+        help="alternate N / 4N runs (N,4N,N,4N,...) instead of running all "
+             "N repeats then all 4N repeats. On a noisy-neighbor box the "
+             "host's available bandwidth drifts on a minutes scale; "
+             "back-to-back pairing puts both levels of each pair in the "
+             "same noise window, and per-pair efficiencies are recorded so "
+             "the cleanest same-window pair is visible alongside best-of.",
+    )
     a = p.parse_args()
 
     subprocess.run(["sh", os.path.join(REPO, "bench", "package.sh")], check=True)
@@ -306,8 +318,20 @@ def main() -> int:
     corpus = os.path.join(a.workdir, f"corpus_{a.docs}_{a.heavy_spans}_{corpus_ver}")
     gen_corpus(a.docs, a.heavy_spans, corpus)
 
-    run_n = best_of(a.n, corpus, a.workdir, f"n{a.n}", a.repeats)
-    run_n4 = best_of(a.n4, corpus, a.workdir, f"n{a.n4}", a.repeats)
+    pair_effs = None
+    if a.interleave:
+        runs_n, runs_n4 = [], []
+        for r in range(a.repeats):
+            runs_n.append(run_submit(a.n, corpus, a.workdir, f"n{a.n}", r))
+            runs_n4.append(run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r))
+        pair_effs = [
+            round(h["docs_per_sec"] / ((a.n4 / a.n) * l["docs_per_sec"]), 3)
+            for l, h in zip(runs_n, runs_n4)
+        ]
+        run_n, run_n4 = pick_best(runs_n), pick_best(runs_n4)
+    else:
+        run_n = best_of(a.n, corpus, a.workdir, f"n{a.n}", a.repeats)
+        run_n4 = best_of(a.n4, corpus, a.workdir, f"n{a.n4}", a.repeats)
 
     eff = run_n4["docs_per_sec"] / ((a.n4 / a.n) * run_n["docs_per_sec"])
     result = {
@@ -315,6 +339,8 @@ def main() -> int:
         "n4_run": run_n4,
         "efficiency": round(eff, 3),
     }
+    if pair_effs is not None:
+        result["interleaved_pair_efficiencies"] = pair_effs
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     json_path = os.path.join(REPO, "BENCH", f"scaling{a.out_label}.json")
     # persist the expensive submit results BEFORE verification, so a

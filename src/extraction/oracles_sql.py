@@ -359,6 +359,30 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents
 """
 
+ORACLES["t3_weighted_sample"] = """
+WITH tot AS (
+  SELECT CAST(SUM(n_chars + 1) AS HUGEINT) AS w_total,
+         CAST(COUNT(*) AS HUGEINT) AS n_docs
+  FROM documents
+), scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars + 1 AS BIGINT) AS weight,
+         CAST(CASE WHEN
+           CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'w')), 1, 8)) AS BIGINT) AS HUGEINT)
+             * w_total
+           < CAST(300 AS HUGEINT) * CAST(n_chars + 1 AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+         THEN 1 ELSE 0 END AS BIGINT) AS in_weighted,
+         CAST(CASE WHEN
+           CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'u')), 1, 8)) AS BIGINT) AS HUGEINT)
+             * n_docs
+           < CAST(200 AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+         THEN 1 ELSE 0 END AS BIGINT) AS in_uniform
+  FROM documents, tot
+)
+SELECT doc_id, weight, in_weighted, in_uniform
+FROM scored WHERE in_weighted = 1 OR in_uniform = 1
+"""
+
 ORACLES["t5_group_split"] = """
 SELECT CAST(CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT) % 3 AS BIGINT) AS split,
        COUNT(*) AS n_docs,
