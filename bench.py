@@ -222,6 +222,10 @@ def main() -> int:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # the query set GROWS round over round (new operators add new
+        # entries), so compare sec_per_query across rounds, not value
+        "n_queries": len(qtimes),
+        "sec_per_query": round(total / max(1, len(qtimes)), 3),
         "queries": qtimes,
         "sf": _sf_of(SF_DIR),
         "extract": ext_full,

@@ -188,6 +188,21 @@ def main() -> int:
         },
     )
 
+    # --- T3 weighted sampler: scalar-agg broadcast, nothing global ---
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.q_t3_weighted_sample(spark, SF_DIR))
+    check(
+        "t3 weighted_sample (scalar agg broadcast -> narrow filter)",
+        p,
+        {
+            "totals broadcast (1-row side)": "BroadcastNestedLoopJoin" in p
+            or "BroadcastHashJoin" in p,
+            "no global sort": "Sort " not in p,
+            "no window": "Window" not in p,
+        },
+    )
+
     # --- pushdown ---
     p = plan_of(d.filter(F.col("n_chars") > 100).select("doc_id", "n_chars"))
     check(
