@@ -41,7 +41,13 @@ Scale/robustness notes:
   forever. Evicted docs are DROPPED from the output (production would
   route them to a dead-letter sink; emitting a partial doc would make
   output content timing-dependent, which the span-sequence-equality
-  contract forbids).
+  contract forbids). Trigger caveat: with ProcessingTimeTimeout, Spark's
+  ``shouldRunAnotherBatch`` is permanently true, so even
+  ``Trigger.AvailableNow`` queries never self-terminate — they keep
+  scheduling no-data batches to fire timers. timeout_sec is for
+  continuously-running ingest; batch-drain runs should pass
+  ``timeout_sec=None`` (NoTimeout terminates normally) or stop() after
+  ``processAllAvailable()``.
 - The stateful shuffle partitions by doc_id — the same key the batch
   path salts on. Individual fragments are small, but a doc's state
   approaches its full span payload just before completion, and every

@@ -104,3 +104,80 @@ def test_fragment_assembly_matches_batch_kernel(spark, tmp_path):
         ]
         got_sorted = sorted(got[doc_id], key=lambda t: t[3])
         assert got_sorted == want, f"span-sequence mismatch for {doc_id}"
+
+def test_timeout_evicts_straggler_state(spark, tmp_path):
+    """Dead-letter seam: an open doc whose tail fragment never lands is
+    evicted after timeout_sec — it must NOT emit, and complete docs in
+    the same stream are unaffected."""
+    import time
+
+    from extraction.streaming import assemble_fragments
+
+    src = str(tmp_path / "frags")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    full_id, full_spans = gen_doc(1)  # complete: both fragments delivered
+    open_id, open_spans = gen_doc(2)  # straggler: fragment 1 of 2 only
+    cut = len(full_spans) // 2
+    phase1 = [
+        (full_id, 0, 2, full_spans[:cut]),
+        (full_id, 1, 2, full_spans[cut:]),
+        (open_id, 0, 2, open_spans[: len(open_spans) // 2]),
+    ]
+    spark.createDataFrame(phase1, FRAGMENTS_SCHEMA).coalesce(1).write.parquet(src)
+
+    def run(min_input_rows):
+        # ProcessingTimeTimeout makes shouldRunAnotherBatch permanently
+        # true, so even availableNow never self-terminates — it keeps
+        # scheduling no-data batches to fire timers (and
+        # processAllAvailable() never returns either). Wait for this
+        # phase's input rows to be consumed via query progress, give
+        # expired timers a few no-data batches to fire, then stop.
+        q = (
+            assemble_fragments(
+                spark.readStream.schema(FRAGMENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                timeout_sec=1,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= min_input_rows:
+                break
+            time.sleep(1)
+        else:
+            q.stop()
+            raise AssertionError("stream never consumed this phase's rows")
+        time.sleep(4)  # > timeout_sec: expired timers fire in no-data batches
+        q.stop()
+        q.awaitTermination(60)
+
+    run(3)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {full_id}
+
+    # timers persist in the checkpoint across restarts; the next run's
+    # batches fire them once expired
+    other_id, other_spans = gen_doc(4)
+    spark.createDataFrame(
+        [(other_id, 0, 1, other_spans)], FRAGMENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run(1)
+
+    # deliver the straggler's tail AFTER eviction: the doc re-opens with
+    # only the tail fragment, so it still cannot complete (n_frags=2,
+    # seen=1) — eviction means the doc is dead-lettered, not resurrected
+    spark.createDataFrame(
+        [(open_id, 1, 2, open_spans[len(open_spans) // 2 :])], FRAGMENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run(1)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {full_id, other_id}, "evicted straggler must never emit"
