@@ -568,6 +568,51 @@ def q_t3_weighted_sample(spark, sf_dir):
     )
 
 
+def q_s5_frag_reassemble(spark, sf_dir):
+    """S5 order-preserving reassembly, batch form of the streaming
+    fragment assembler (src/extraction/streaming.py; reference analog:
+    the r1..rN -> explicit `order` sink discipline,
+    /root/reference/src/detect_paragraphs.py output loop).
+
+    Deterministically fragment each doc's text into 7-char chunks, then
+    reassemble with the order-preserving idiom
+    ``array_join(transform(array_sort(collect_list(struct(frag_id,
+    chunk)))))`` and verify the round trip is exact. collect_list order
+    is nondeterministic in a distributed shuffle — the array_sort on the
+    (frag_id, chunk) struct is what restores it, the same contract the
+    stateful assembler implements across micro-batches. One shuffle on
+    doc_id; no window, no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    frags = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, greatest(int(ceil(length(text)/7.0))-1, 0)),"
+                " i -> substring(text, i*7+1, 7))"
+            )
+        ).alias("frag_id", "chunk"),
+    )
+    asm = frags.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("frag_id"), F.col("chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+            "",
+        ).alias("text2"),
+        F.count("*").alias("n_frags"),
+    )
+    orig = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return orig.join(asm, "doc_id").select(
+        "doc_id",
+        F.col("n_frags").cast("long").alias("n_frags"),
+        (F.col("text2") == F.col("text")).cast("long").alias("ok"),
+    )
+
+
 def q_e5_join_mean(spark, sf_dir):
     """E5/T4: filename-style equi-join of two derived tables + mean metric."""
     d = _t(spark, sf_dir, "documents")
@@ -1003,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_elimination": q_q1_elimination,
         "q2_interval_merge": q_q2_interval_merge,
         "s3_parse_points": q_s3_parse_points,
+        "s5_frag_reassemble": q_s5_frag_reassemble,
         "x1_trimmed_mean": q_x1_trimmed_mean,
         "x2_profile": q_x2_profile,
         "x3_nms": q_x3_nms,

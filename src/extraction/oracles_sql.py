@@ -256,6 +256,23 @@ SELECT doc_id,
 FROM parsed
 """
 
+ORACLES["s5_frag_reassemble"] = """
+WITH frags AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         unnest(range(0, GREATEST(CAST(ceil(length(text)/7.0) AS BIGINT), 1))) AS frag_id
+  FROM documents
+), f2 AS (
+  SELECT doc_id, frag_id, substring(text, CAST(frag_id*7+1 AS BIGINT), 7) AS chunk
+  FROM frags
+), asm AS (
+  SELECT doc_id, string_agg(chunk, '' ORDER BY frag_id) AS text2, COUNT(*) AS n_frags
+  FROM f2 GROUP BY doc_id
+)
+SELECT a.doc_id, CAST(a.n_frags AS BIGINT) AS n_frags,
+       CAST(a.text2 = d0.text AS BIGINT) AS ok
+FROM asm a JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents) d0 USING (doc_id)
+"""
+
 ORACLES["p7_same_size"] = f"""
 WITH {_TYPE_IV_CTE[1:]}
 SELECT a.user_id AS user_id, a.event_type AS type_a, b.event_type AS type_b,
