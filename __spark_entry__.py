@@ -812,7 +812,7 @@ def q_dedup_lsh_degenerate(spark, sf_dir):
     signature — one quadratic bucket per band; with it they never enter
     banding. n_banded counts the docs that did."""
     from extraction.dedup import minhash_lsh_candidates
-    from extraction.textops import word_shingles
+    from extraction.textops import normalize_text, words
 
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("long")
@@ -824,11 +824,14 @@ def q_dedup_lsh_degenerate(spark, sf_dir):
         .alias("text"),
     )
     mutated = _par(spark, mutated)
+    # the SAME word-count predicate the guard applies (dedup.py:124) —
+    # definitionally the set of docs that enter banding, and one
+    # normalize+split instead of the full k-shingle pipeline per row
     stats = mutated.select(
-        F.size(word_shingles(F.col("text"), 3)).alias("nsh")
+        (F.size(words(normalize_text(F.col("text")))) >= F.lit(3)).alias("banded")
     ).agg(
         F.count("*").alias("n_docs"),
-        F.sum((F.col("nsh") > 0).cast("long")).alias("n_banded"),
+        F.sum(F.col("banded").cast("long")).alias("n_banded"),
     )
     pairs = minhash_lsh_candidates(mutated, "text", "doc_id", k=3, perms=16, bands=4)
     return stats.crossJoin(pairs.agg(F.count("*").alias("n_candidate_pairs")))
@@ -949,8 +952,19 @@ def q_ann_recall_at_1(spark, sf_dir):
         .join(mp, "query_id", "left")
         .agg(
             F.count("*").alias("n_queries"),
-            F.sum((F.col("lsh_nid") == F.col("bf_nid")).cast("long")).alias("lsh_hits"),
-            F.sum((F.col("mp_nid") == F.col("bf_nid")).cast("long")).alias("multiprobe_hits"),
+            # coalesce the miss/unanswered cases to 0 so an all-miss run
+            # sums to 0 on both sides (a bare SUM of NULLs is NULL in
+            # DuckDB but the Spark cast-of-false contributes 0)
+            F.sum(
+                F.coalesce(
+                    (F.col("lsh_nid") == F.col("bf_nid")).cast("long"), F.lit(0)
+                )
+            ).alias("lsh_hits"),
+            F.sum(
+                F.coalesce(
+                    (F.col("mp_nid") == F.col("bf_nid")).cast("long"), F.lit(0)
+                )
+            ).alias("multiprobe_hits"),
         )
     )
 

@@ -52,10 +52,9 @@ SCALE_N4 = int(os.environ.get("SPARK_GRAFT_BENCH_N4", str(SCALE_N * 4)))
 
 def _corpus_version() -> str:
     """Fingerprint of the corpus generator source (stale-cache guard)."""
-    import hashlib
+    from extraction.fingerprint import source_fingerprint
 
-    with open(os.path.join(_SRC, "extraction", "corpus.py"), "rb") as f:
-        return hashlib.md5(f.read()).hexdigest()[:8]
+    return source_fingerprint("corpus.py")
 
 
 def _sf_of(path: str) -> float:

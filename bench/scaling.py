@@ -311,10 +311,9 @@ def main() -> int:
     subprocess.run(["sh", os.path.join(REPO, "bench", "package.sh")], check=True)
     os.makedirs(a.workdir, exist_ok=True)
     # corpus path fingerprints the generator source (stale-cache guard)
-    import hashlib
+    from extraction.fingerprint import source_fingerprint
 
-    with open(os.path.join(SRC, "extraction", "corpus.py"), "rb") as f:
-        corpus_ver = hashlib.md5(f.read()).hexdigest()[:8]
+    corpus_ver = source_fingerprint("corpus.py")
     corpus = os.path.join(a.workdir, f"corpus_{a.docs}_{a.heavy_spans}_{corpus_ver}")
     gen_corpus(a.docs, a.heavy_spans, corpus)
 

@@ -301,12 +301,15 @@ def lsh_verified_pairs(
     # the verify join below); with explode the tree references cands
     # exactly twice and AQE's exchange-reuse dedupes the band-join
     # shuffles at runtime (asserted by tools/explain_plans.py).
+    # the semi-join key is renamed to a name that cannot collide with a
+    # user id_col (id_col == "id" would make F.col(id_col) == F.col("id")
+    # ambiguous at analysis time)
     need = (
-        cands.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        cands.select(F.explode(F.array("id_a", "id_b")).alias("__need_id"))
         .distinct()
     )
     sh = df.join(
-        F.broadcast(need), F.col(id_col) == F.col("id"), "left_semi"
+        F.broadcast(need), F.col(id_col) == F.col("__need_id"), "left_semi"
     ).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shingles"),

@@ -18,8 +18,9 @@ idempotent (atomic rename).
 
 from __future__ import annotations
 
-import hashlib
 import os
+
+from .fingerprint import source_fingerprint
 
 # must match q_extract_pipeline / q_extract_kind_stats in __spark_entry__.py
 N_DOCS = 500
@@ -28,13 +29,17 @@ SEED = 42
 
 
 def _version() -> str:
-    h = hashlib.md5()
-    base = os.path.dirname(os.path.abspath(__file__))
-    for fn in ("oracle.py", "corpus.py", "constants.py"):
-        with open(os.path.join(base, fn), "rb") as f:
-            h.update(f.read())
-    h.update(f"{N_DOCS}:{HEAVY_SPANS}:{SEED}".encode())
-    return h.hexdigest()[:12]
+    # includes THIS file: the parquet layout (column types, the all-null
+    # empty-doc row convention) is defined here, so a materializer edit
+    # must also bust the cache
+    return source_fingerprint(
+        "oracle.py",
+        "corpus.py",
+        "constants.py",
+        "oracle_materialize.py",
+        extra=f"{N_DOCS}:{HEAVY_SPANS}:{SEED}",
+        n=12,
+    )
 
 
 def oracle_parquet_path() -> str:

@@ -852,8 +852,8 @@ WITH bucketed AS (
   ) WHERE rn = 1
 )
 SELECT COUNT(*) AS n_queries,
-       CAST(SUM(CASE WHEN lsh.lsh_nid = bf.bf_nid THEN 1 END) AS BIGINT) AS lsh_hits,
-       CAST(SUM(CASE WHEN mp.mp_nid = bf.bf_nid THEN 1 END) AS BIGINT) AS multiprobe_hits
+       CAST(SUM(CASE WHEN lsh.lsh_nid = bf.bf_nid THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+       CAST(SUM(CASE WHEN mp.mp_nid = bf.bf_nid THEN 1 ELSE 0 END) AS BIGINT) AS multiprobe_hits
 FROM bf LEFT JOIN lsh USING (query_id) LEFT JOIN mp USING (query_id)
 """
 

@@ -93,12 +93,17 @@ def ivf_topk(
     partition-pruned alternative to sign-LSH bucketing.
 
     ``centroids`` arrive as plain Python lists: the trained-offline model
-    artifact a production pipeline ships to every executor (here they are
-    compiled into the plan as literals — same thing at 8–64k centroids).
-    Assignment is a narrow argmax expression over the per-centroid cosine
-    — greatest + chained when, NO shuffle, lowest index wins ties — so
-    corpus-side cost is one pass; the only shuffle is the equi-join on
-    the list id, exactly like ``bucketed_topk``. Recall is governed by
+    artifact a production pipeline ships to every executor. Here they are
+    compiled into the plan as literals, which is right for tens of
+    centroids (this module's scale) but NOT for 8-64k: greatest +
+    chained-when evaluates each per-centroid cosine twice (Spark does no
+    CSE across higher-order functions — measured on the minhash path,
+    dedup.py), and thousands of 64-double literal arrays in one Project
+    would blow past codegen method limits. At real IVF scale, assignment
+    becomes a broadcast-join argmax against a centroids table (one
+    shuffle-free pass, same output contract). Assignment here is a
+    narrow argmax — NO shuffle, lowest index wins ties; the only shuffle
+    is the equi-join on the list id, exactly like ``bucketed_topk``. Recall is governed by
     the centroid count and probe width, measured with tools/ann_recall.py
     discipline rather than assumed.
     """

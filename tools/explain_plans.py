@@ -97,8 +97,11 @@ def main() -> int:
     # ReusedExchange only materializes in the FINAL adaptive plan — AQE
     # dedupes identical exchanges at runtime, so execute first, then read
     # the executed plan (the static plan shows the duplicated subtrees).
-    # collect(), not count(): count() builds a SEPARATE query execution
-    # and leaves lv's own plan unexecuted (isFinalPlan=false).
+    # collect() is LOAD-BEARING: count() and a noop-format write each
+    # build a SEPARATE query execution and leave lv's own plan
+    # unexecuted (isFinalPlan=false — verified empirically for both).
+    # The driver-side materialization is fine: this is a plan-sanity
+    # tool pointed at small SF dirs (pair count ~hundreds at sf0.01).
     lv.collect()
     final = lv._jdf.queryExecution().executedPlan().toString()
     check(
