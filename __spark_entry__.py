@@ -861,6 +861,54 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_tiered(spark, sf_dir):
+    """The production near-dup FUNNEL: two cheap blocking tiers —
+    simhash hamming-banding and MinHash-LSH — generate candidates, the
+    union is verified ONCE with exact shingle Jaccard (>= 0.5). At
+    100 TB the funnel shape is the whole point: each tier shuffles only
+    fixed-width signatures, the union dedupes candidates before the
+    expensive verification, and exact Jaccard touches candidate pairs
+    only, never the corpus cross-product. Returns the per-tier funnel
+    counts as one row."""
+    from extraction.dedup import minhash_lsh_candidates, simhash_near_pairs
+    from extraction.textops import word_shingles
+
+    d = _par(spark, _t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    tier_sim = simhash_near_pairs(
+        d, "text", "doc_id", bits=32, bands=4, max_hamming=3
+    ).select("id_a", "id_b")
+    tier_mh = minhash_lsh_candidates(
+        d, "text", "doc_id", k=3, perms=16, bands=4
+    ).select("id_a", "id_b")
+    cand = tier_sim.unionByName(tier_mh).distinct()
+    sh = d.select(
+        F.col("doc_id").alias("vid"), word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    ver = (
+        cand.join(
+            sh.select(F.col("vid").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("vid").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .filter(
+            inter * 2
+            >= (F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter)
+        )
+    )
+    return (
+        tier_sim.agg(F.count("*").alias("n_simhash"))
+        .crossJoin(tier_mh.agg(F.count("*").alias("n_minhash")))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(ver.agg(F.count("*").alias("n_verified")))
+    )
+
+
 # --- training-data pipeline: similarity search ---
 
 def q_ann_bruteforce_top1(spark, sf_dir):
@@ -1087,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_lsh_degenerate": q_dedup_lsh_degenerate,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_tiered": q_dedup_tiered,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_top1": q_ann_bruteforce_top1,
         "ann_lsh_buckets": q_ann_lsh_buckets,

@@ -774,6 +774,47 @@ FROM pairs
 WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
+ORACLES["dedup_tiered"] = f"""
+WITH {_NORM_WORDS_CTE[1:]},
+{_WS_CTE[1:]},
+sh AS (
+  SELECT doc_id, {_shingles_expr(3)} AS shingles FROM wsed
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hashes
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_MH16} FROM hashed WHERE len(hashes) > 0
+), mhpairs AS (
+{_LSH_JOINS}
+), w AS (
+  SELECT doc_id AS id, unnest(list_distinct(ws)) AS word FROM wsed
+), h AS (
+  SELECT id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM w
+), votes AS (
+  SELECT id, {_SIMHASH_VOTES}
+  FROM h GROUP BY id
+), sims AS (
+  SELECT id, CAST({_SIMHASH_SUM} AS BIGINT) AS sh FROM votes
+), spairs AS (
+{_SIMHASH_BAND_JOINS}
+), tier_sim AS (
+  SELECT id_a, id_b FROM spairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+), cand AS (
+  SELECT id_a, id_b FROM tier_sim UNION SELECT id_a, id_b FROM mhpairs
+), ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+  WHERE len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) * 2
+        >= len(sa.shingles) + len(sb.shingles)
+           - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+)
+SELECT (SELECT COUNT(*) FROM tier_sim) AS n_simhash,
+       (SELECT COUNT(*) FROM mhpairs) AS n_minhash,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM ver) AS n_verified
+"""
+
 ORACLES["ann_multiprobe_top1"] = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_lsh_bucket_expr("embedding")} AS bucket FROM embeddings

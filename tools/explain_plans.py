@@ -191,8 +191,27 @@ def main() -> int:
         },
     )
 
-    # --- T3 weighted sampler: scalar-agg broadcast, nothing global ---
+    # --- tiered dedup funnel: equi-joins end to end, no cross-product ---
     import __spark_entry__ as entry
+
+    tiered = entry.q_dedup_tiered(spark, SF_DIR)
+    p = plan_of(tiered)
+    # formatted output lists every operator twice (tree + detail); count
+    # join operators on the simple plan string, like the exchange count
+    tsimple = tiered._jdf.queryExecution().executedPlan().toString()
+    check(
+        "dedup tiered funnel (simhash ∪ minhash candidates -> exact verify)",
+        p,
+        {
+            "no cartesian / nested-loop join": "CartesianProduct" not in tsimple
+            # the 4 funnel counts crossJoin as 1-row aggregates (cheap,
+            # BroadcastNestedLoopJoin on single rows); the candidate and
+            # verify joins themselves must all be equi-joins
+            and tsimple.count("BroadcastNestedLoopJoin") <= 3,
+        },
+    )
+
+    # --- T3 weighted sampler: scalar-agg broadcast, nothing global ---
 
     p = plan_of(entry.q_t3_weighted_sample(spark, SF_DIR))
     check(
