@@ -977,6 +977,25 @@ def q_ann_ivf_top1(spark, sf_dir):
     )
 
 
+def q_ann_ivf_probe2_top1(spark, sf_dir):
+    """IVF-flat with nprobe=2: each query probes its two nearest lists —
+    the IVF recall lever (Voronoi-boundary analog of LSH multi-probe)."""
+    from extraction.similarity import ivf_topk
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    cents = [
+        list(r.embedding)
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    q = e.filter(F.col("vec_id") < 30)
+    return ivf_topk(
+        e, q, "embedding", "vec_id", centroids=cents, k=1, nprobe=2
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+
+
 def q_ann_recall_at_1(spark, sf_dir):
     """Measured accuracy trade of the ANN scale path: recall@1 of
     single-probe and multi-probe bucketed search vs exact brute force,
@@ -1142,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top1": q_ann_lsh_top1,
         "ann_multiprobe_top1": q_ann_multiprobe_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
+        "ann_ivf_probe2_top1": q_ann_ivf_probe2_top1,
         "ann_recall_at_1": q_ann_recall_at_1,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,

@@ -861,6 +861,39 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neig
 FROM ranked WHERE rn = 1
 """
 
+ORACLES["ann_ivf_probe2_top1"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, lst FROM (
+    SELECT e.vec_id, c.cid AS lst,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cosine_expr("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), listed AS (
+  SELECT e.vec_id, e.embedding, a.lst FROM embeddings e JOIN assigned a USING (vec_id)
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, lst AS probe FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS lst,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cosine_expr("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id < 30
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_cosine_expr("p.qv", "c.embedding")} AS cos_sim
+  FROM probes p JOIN listed c ON p.probe = c.lst AND p.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id
+FROM ranked WHERE rn = 1
+"""
+
 ORACLES["ann_recall_at_1"] = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_lsh_bucket_expr("embedding")} AS bucket FROM embeddings

@@ -87,10 +87,13 @@ def ivf_topk(
     id_col: str,
     centroids: list[list[float]],
     k: int = 1,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-flat ANN: every vector is assigned to its nearest centroid
-    (its "inverted list"); a query probes ONLY its own list — the
-    partition-pruned alternative to sign-LSH bucketing.
+    (its "inverted list"); a query probes its ``nprobe`` nearest lists —
+    the partition-pruned alternative to sign-LSH bucketing, with nprobe
+    as the recall lever (the IVF analog of LSH multi-probe: recall lost
+    at Voronoi boundaries is recovered for nprobe× probe cost).
 
     ``centroids`` arrive as plain Python lists: the trained-offline model
     artifact a production pipeline ships to every executor. Here they are
@@ -133,15 +136,37 @@ def ivf_topk(
         )
         return acc["idx"]
 
+    def probe_lists(vec):
+        # top-nprobe list ids: one transform scores every centroid once;
+        # array_sort on (negated cos, idx) structs orders cos desc with
+        # lowest index winning ties — the same tie rule as the argmax
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        scoredc = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                (-cosine_sim(vec, c)).alias("negcos"),
+                i.cast("long").alias("idx"),
+            ),
+        )
+        return F.transform(
+            F.slice(F.array_sort(scoredc), 1, nprobe), lambda t: t["idx"]
+        )
+
     c = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("cv"),
         assign(F.col(vec_col)).alias("cl"),
     )
+    # corpus vectors live in exactly ONE list; only queries fan out, so
+    # each (query, neighbor) pair appears at most once — no dedup needed
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
-        assign(F.col(vec_col)).alias("ql"),
+        F.explode(probe_lists(F.col(vec_col))).alias("ql")
+        if nprobe > 1
+        else assign(F.col(vec_col)).alias("ql"),
     )
     scored = c.join(
         F.broadcast(q), (F.col("ql") == F.col("cl")) & (F.col("qid") != F.col("nid"))
