@@ -3,9 +3,18 @@
 
 Runs the headline queries from ``__spark_entry__`` against
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE COMPACT JSON line::
 
-    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": ..., "value": N, "unit": "sec", "n_queries": ...,
+     "sec_per_query": ..., "sf": ..., "extract": {...}, "scaling": {...},
+     "scaling_protocol": {...}, "queries_file": "BENCH/queries_rN.json"}
+
+The stdout line is deliberately small (< 1 KB): round 2's full
+per-query map outgrew the driver's tail-capture window and the whole
+line became unparseable (BENCH_r02.json ``parsed: null``). The
+per-query second map — now median-of-3 with every raw wall retained,
+because this box swings 2-4x run to run (see BENCH/BASELINE.md
+measurement protocol) — goes to ``BENCH/queries_r{round}.json``.
 
 Beyond the per-query seconds it reports the north metric
 (BASELINE.json): extraction docs/sec on the deterministic synthetic
@@ -48,6 +57,8 @@ HEAVY_SPANS = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SPANS", "2000"))
 # 2-3x slower AND noisier, see BENCH/BASELINE.md).
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4"))
 SCALE_N4 = int(os.environ.get("SPARK_GRAFT_BENCH_N4", str(SCALE_N * 4)))
+# measured runs per query (after 1 warmup); median reported
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def _corpus_version() -> str:
@@ -76,7 +87,17 @@ def _force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark) -> dict[str, dict]:
+    """Per-query timing: 1 warmup + ``REPEATS`` measured runs, median.
+
+    Median-of-3 because single observations on this box are meaningless:
+    round 2 recorded the four UNCHANGED embeddings queries at 10-20x
+    their steady state (12-20 s vs 1.9-2.6 s measured the same day by
+    tools/ann_recall.py) purely from neighbor contention. All raw walls
+    are retained in the per-query file so an outlier window is visible
+    instead of silently shaping the headline number."""
+    import statistics
+
     import __spark_entry__ as entrymod
 
     # warmup: JVM/JIT + parquet footer caches, so query 1 isn't charged
@@ -84,7 +105,7 @@ def run_queries(spark) -> dict[str, float]:
     for t in ("events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
-    times: dict[str, float] = {}
+    times: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
         # one unmeasured execution first: queries with large generated
         # expression trees (minhash fold, per-dimension cosine) pay
@@ -92,10 +113,23 @@ def run_queries(spark) -> dict[str, float]:
         # 2-3x inflation vs steady state. Production runs a query shape
         # repeatedly; the measured number is the steady-state one.
         _force(fn(spark, SF_DIR))
-        t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        times[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.monotonic()
+            _force(fn(spark, SF_DIR))
+            runs.append(round(time.monotonic() - t0, 3))
+        times[name] = {"median": round(statistics.median(runs), 3), "runs": runs}
     return times
+
+
+def _round_number() -> int:
+    """Current driver round (PROGRESS.jsonl last line); 0 if unknown."""
+    try:
+        with open(os.path.join(_REPO, "PROGRESS.jsonl"), "rb") as f:
+            last = f.readlines()[-1]
+        return int(json.loads(last).get("round", 0))
+    except Exception:
+        return 0
 
 
 def corpus_parquet(spark, n_docs: int) -> str:
@@ -183,19 +217,16 @@ def main() -> int:
             spark.stop()
         factor = SCALE_N4 / SCALE_N
         eff = ext_full["docs_per_sec"] / (factor * ext_small["docs_per_sec"])
+        # note kept short: this block is an in-process estimate on the
+        # saturated wide pair; scaling_protocol is the authoritative
+        # north-rule number (spark-submit best-of-3, BENCH/BASELINE.md)
         scaling = {
             "n_cores": SCALE_N,
             "n4_cores": SCALE_N4,
             "n_docs_per_sec": ext_small["docs_per_sec"],
             "n4_docs_per_sec": ext_full["docs_per_sec"],
             "efficiency": round(eff, 3),
-            "note": (
-                "in-process estimate on the SATURATED wide pair "
-                f"(local[{SCALE_N}] vs local[{SCALE_N4}] keeps ~{2 * SCALE_N4} "
-                "of 32 vCPUs busy — measures the box's bandwidth ceiling, "
-                "not the pipeline); scaling_protocol is the authoritative "
-                "north-rule number"
-            ),
+            "note": "in-process estimate; scaling_protocol is authoritative",
         }
 
     # authoritative spark-submit scaling evidence (bench/scaling.py
@@ -216,7 +247,25 @@ def main() -> int:
     except Exception:
         pass
 
-    total = round(sum(qtimes.values()), 3)
+    total = round(sum(q["median"] for q in qtimes.values()), 3)
+    # per-query map (medians + all raw walls) to its own file — round 2's
+    # in-line map overflowed the driver's tail capture and the whole
+    # stdout line was recorded unparseable
+    qfile = os.path.join("BENCH", f"queries_r{_round_number()}.json")
+    os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(_REPO, qfile), "w") as f:
+        json.dump(
+            {
+                "sf": _sf_of(SF_DIR),
+                "cpus": CPUS,
+                "repeats_per_query": REPEATS,
+                "stat": "median",
+                "total_median_sec": total,
+                "queries": qtimes,
+            },
+            f,
+            indent=1,
+        )
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -225,7 +274,8 @@ def main() -> int:
         # entries), so compare sec_per_query across rounds, not value
         "n_queries": len(qtimes),
         "sec_per_query": round(total / max(1, len(qtimes)), 3),
-        "queries": qtimes,
+        "per_query_stat": f"median_of_{REPEATS}",
+        "queries_file": qfile,
         "sf": _sf_of(SF_DIR),
         "extract": ext_full,
         "scaling": scaling,

@@ -22,6 +22,8 @@ import os
 
 from .fingerprint import source_fingerprint
 
+_HERE = os.path.dirname(os.path.abspath(__file__))  # src/extraction -> repo/..
+
 # must match q_extract_pipeline / q_extract_kind_stats in __spark_entry__.py
 N_DOCS = 500
 HEAVY_SPANS = 300
@@ -49,7 +51,13 @@ def oracle_parquet_path() -> str:
     (doc_id, kind, text, media_ref, order); a doc whose extraction output
     is empty contributes ONE all-null row (posexplode_outer semantics).
     """
-    path = f"/tmp/extraction_oracle_{_version()}.parquet"
+    # repo-scoped cache dir (NOT the world-writable /tmp: a stale or
+    # foreign file planted at a predictable /tmp path would be silently
+    # trusted as the correctness oracle, and os.replace over another
+    # user's file can fail on a shared box)
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(_HERE)), ".oracle_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"extraction_oracle_{_version()}.parquet")
     if os.path.exists(path):
         return path
 
