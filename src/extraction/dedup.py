@@ -158,7 +158,7 @@ def simhash_near_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    bits: int = 32,
+    bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -178,6 +178,18 @@ def simhash_near_pairs(
     ``max_hamming < bands`` blocking loses no pair — recall 1.0 by
     construction, not probabilistic.
 
+    Band-key cardinality bounds the corpus this tier can block: each
+    band has 2^(bits/bands) distinct keys, so UNRELATED docs collide in
+    a band at ~2^-chunk_bits and candidate generation carries an
+    intrinsic Θ(n²/2^chunk_bits) term. The 60/4 default (15-bit chunks,
+    32768 keys/band) is the widest portable-md5-int64 configuration —
+    fine to ~10^7 docs; beyond that raise ``bits`` via a wider hash
+    (production: full xxhash64 → 16-bit chunks, or a 128-bit simhash in
+    two columns) or rely on the MinHash tier, whose band key is a
+    4-minhash tuple with effectively unbounded cardinality. The old
+    32/4 configuration (8-bit chunks, 256 keys/band — quadratic from
+    ~10^4 docs) is exactly the hazard this docstring exists to flag.
+
     Same sentinel guard as MinHash-LSH: docs with zero words after
     normalization (simhash 0) are excluded — at corpus scale they would
     all collide in every band and the in-bucket join is quadratic.
@@ -186,6 +198,11 @@ def simhash_near_pairs(
         raise ValueError(
             f"max_hamming={max_hamming} needs bands > max_hamming "
             f"(pigeonhole recall guarantee); got bands={bands}"
+        )
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits={bits} must divide evenly into bands={bands} chunks "
+            "(unequal chunks break the pigeonhole recall guarantee)"
         )
     chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
@@ -273,29 +290,32 @@ def ngram_jaccard_pairs(
     )
 
 
-def lsh_verified_pairs(
+def verify_candidates(
     df: DataFrame,
+    cands: DataFrame,
     text_col: str,
     id_col: str,
     k: int = 3,
-    perms: int = MINHASH_PERMS,
-    bands: int = LSH_BANDS,
-    threshold_num: int = 1,
-    threshold_den: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs, the 100 TB shape: LSH candidates → exact Jaccard
-    verification of candidates ONLY (all-pairs verification is O(n²)).
+    """Exact-Jaccard scoring of candidate pairs — the shared verify stage
+    of EVERY near-dup funnel (single-tier LSH or the tiered
+    simhash ∪ minhash union). Returns (id_a, id_b, inter, nsh_a, nsh_b);
+    the caller applies its threshold.
 
-    Shingles for verification are computed ONLY for docs that appear in
-    some candidate pair: the distinct candidate-id set broadcasts as a
-    semi-join filter against the corpus, so the (expensive)
-    normalize+shingle expression runs over the tiny candidate population
-    instead of the full corpus — at 100 TB that is the difference
-    between re-tokenizing everything twice and touching a few permille.
-    All verification joins explicitly broadcast the candidate-derived
-    side; the corpus never shuffles.
+    Shingles are computed ONLY for docs that appear in some candidate
+    pair: the distinct candidate-id set broadcasts as a semi-join filter
+    against the corpus, so the (expensive) normalize+shingle expression
+    runs over the tiny candidate population instead of the full corpus —
+    at 100 TB that is the difference between re-tokenizing everything
+    twice and touching a few permille.
+
+    Only the NARROW tables are force-broadcast (the id set and the
+    (id_a, id_b) pair table). The shingle-carrying join sides are left
+    to AQE: if near-dup density is high, a forced broadcast of a
+    shingle-bearing side fails hard (driver memory / 8 GB broadcast cap)
+    instead of degrading to a shuffle join — AQE picks broadcast when the
+    pruned side is actually small and falls back gracefully when not.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, k, perms, bands)
     # explode(array(..)) instead of union-of-projections: a union would
     # embed TWO copies of the candidate subtree in the plan (three with
     # the verify join below); with explode the tree references cands
@@ -316,8 +336,9 @@ def lsh_verified_pairs(
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    scored = (
-        F.broadcast(F.broadcast(cands).join(a, "id_a"))
+    return (
+        F.broadcast(cands)
+        .join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
@@ -327,6 +348,24 @@ def lsh_verified_pairs(
             F.size("sh_b").cast("long").alias("nsh_b"),
         )
     )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Near-dup pairs, the 100 TB shape: LSH candidates → exact Jaccard
+    verification of candidates ONLY (all-pairs verification is O(n²)).
+    Candidate generation shuffles only signatures; verification routes
+    through the shared semi-join-pruned ``verify_candidates``."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, perms, bands)
+    scored = verify_candidates(df, cands, text_col, id_col, k)
     return scored.filter(
         F.col("inter") * threshold_den
         >= (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")) * threshold_num

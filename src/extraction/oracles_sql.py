@@ -466,11 +466,26 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents
 """
 
-_SIMHASH_VOTES = ",\n         ".join(
-    f"CAST(SUM(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{j}"
-    for j in range(32)
-)
-_SIMHASH_SUM = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+def _simhash_votes(bits: int) -> str:
+    return ",\n         ".join(
+        f"CAST(SUM(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{j}"
+        for j in range(bits)
+    )
+
+
+def _simhash_sum(bits: int) -> str:
+    return " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+
+
+def _simhash_hex(bits: int) -> int:
+    """Word-hash md5-prefix width — mirrors textops.simhash."""
+    return (bits + 3) // 4
+
+
+_SIMHASH_VOTES = _simhash_votes(32)
+_SIMHASH_SUM = _simhash_sum(32)
 ORACLES["text_simhash"] = f"""
 WITH {_NORM_WORDS_CTE[1:]},
 w AS (
@@ -734,12 +749,17 @@ SELECT stats.n_docs AS n_docs, stats.n_banded AS n_banded,
 FROM stats, pcount
 """
 
-# simhash banding: 4 chunks of 8 bits; hamming <= 3 pairs must share a
+# simhash banding: 4 chunks of 15 bits (60-bit hash, the widest
+# portable-md5-int64 configuration); hamming <= 3 pairs must share a
 # chunk (pigeonhole), so the 4-way UNION of chunk equi-joins is lossless
+_SIMHASH_BITS = 60
+_SIMHASH_CHUNK = _SIMHASH_BITS // 4
+_SIMHASH_MASK = (1 << _SIMHASH_CHUNK) - 1
 _SIMHASH_BAND_JOINS = "\nUNION\n".join(
     "SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b"
     " FROM sims a JOIN sims b"
-    f" ON (a.sh >> {8 * b_}) & 255 = (b.sh >> {8 * b_}) & 255 AND a.id < b.id"
+    f" ON (a.sh >> {_SIMHASH_CHUNK * b_}) & {_SIMHASH_MASK}"
+    f" = (b.sh >> {_SIMHASH_CHUNK * b_}) & {_SIMHASH_MASK} AND a.id < b.id"
     for b_ in range(4)
 )
 
@@ -758,14 +778,14 @@ WITH docs2 AS (
          unnest(list_distinct(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> ''))) AS word
   FROM norm
 ), h AS (
-  SELECT id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM w
+  SELECT id, CAST(concat('0x', substr(md5(word), 1, {_simhash_hex(_SIMHASH_BITS)})) AS BIGINT) AS wh FROM w
 ), votes AS (
-  SELECT id, {_SIMHASH_VOTES}
+  SELECT id, {_simhash_votes(_SIMHASH_BITS)}
   FROM h GROUP BY id
 ), sims AS (
   -- inner (not left) over votes: docs with zero words never reach
   -- banding — mirror of simhash_near_pairs' sentinel guard
-  SELECT id, CAST({_SIMHASH_SUM} AS BIGINT) AS sh FROM votes
+  SELECT id, CAST({_simhash_sum(_SIMHASH_BITS)} AS BIGINT) AS sh FROM votes
 ), pairs AS (
 {_SIMHASH_BAND_JOINS}
 )
@@ -790,12 +810,12 @@ sh AS (
 ), w AS (
   SELECT doc_id AS id, unnest(list_distinct(ws)) AS word FROM wsed
 ), h AS (
-  SELECT id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM w
+  SELECT id, CAST(concat('0x', substr(md5(word), 1, {_simhash_hex(_SIMHASH_BITS)})) AS BIGINT) AS wh FROM w
 ), votes AS (
-  SELECT id, {_SIMHASH_VOTES}
+  SELECT id, {_simhash_votes(_SIMHASH_BITS)}
   FROM h GROUP BY id
 ), sims AS (
-  SELECT id, CAST({_SIMHASH_SUM} AS BIGINT) AS sh FROM votes
+  SELECT id, CAST({_simhash_sum(_SIMHASH_BITS)} AS BIGINT) AS sh FROM votes
 ), spairs AS (
 {_SIMHASH_BAND_JOINS}
 ), tier_sim AS (

@@ -143,12 +143,23 @@ def simhash(col: Column, bits: int = 32) -> Column:
     """SimHash over whitespace words of normalized text.
 
     Bit j of the result is 1 iff sum over distinct words of
-    (±1 by word-hash bit j) is positive. Word hash = portable 32-bit
-    md5-derived integer, so the whole computation is reproducible in
-    ANSI SQL. Built-ins only: explode-free aggregate over the words array.
+    (±1 by word-hash bit j) is positive. The word hash is a portable
+    md5-derived integer exactly as wide as ``bits`` (ceil(bits/4) hex
+    digits), so every simhash bit draws on a real hash bit and the whole
+    computation is reproducible in ANSI SQL. ``bits`` <= 60: 15 hex
+    digits is the widest md5 prefix that always fits a signed int64 on
+    both engines (the same constraint as fingerprint64; production would
+    swap in full-width xxhash64). Built-ins only: explode-free aggregate
+    over the words array.
     """
+    if bits > 60:
+        raise ValueError(f"bits={bits} > 60: md5-prefix word hash must fit int64")
+    hex_digits = (bits + 3) // 4
     ws = F.array_distinct(words(normalize_text(col)))
-    hashes = F.transform(ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    hashes = F.transform(
+        ws,
+        lambda w: F.conv(F.substring(F.md5(w), 1, hex_digits), 16, 10).cast("long"),
+    )
 
     # single fold carrying all ``bits`` vote counters at once: the word
     # hashing runs ONCE per row (a per-bit aggregate would rebuild the

@@ -100,6 +100,23 @@ def test_simhash_pairs_rejects_unguaranteed_params(spark):
     d = _docs(spark, FIXTURE[:2])
     with pytest.raises(ValueError):
         simhash_near_pairs(d, "text", "id", bits=32, bands=4, max_hamming=4)
+    # uneven chunks break the pigeonhole guarantee
+    with pytest.raises(ValueError):
+        simhash_near_pairs(d, "text", "id", bits=60, bands=7, max_hamming=3)
+    # >60-bit word hash cannot be a portable md5->int64 prefix
+    with pytest.raises(ValueError):
+        simhash_near_pairs(d, "text", "id", bits=64, bands=4, max_hamming=3)
+
+
+def test_simhash_60bit_uses_full_width(spark):
+    # the 60-bit hash must actually populate bits 32..59 — the whole
+    # point of widening the band chunks (a 32-bit word hash under a
+    # 60-bit simhash would leave the top 28 bits constant-zero and the
+    # top bands with a single degenerate key)
+    rows = [r for r in FIXTURE if r[1].strip()]
+    d = _docs(spark, rows)
+    hs = [r.sh for r in d.select(simhash(F.col("text"), 60).alias("sh")).collect()]
+    assert any(h >> 32 for h in hs)
 
 
 # --- ANN probe-set monotonicity ---

@@ -133,7 +133,7 @@ def main() -> int:
         },
     )
 
-    p = plan_of(simhash_near_pairs(d, "text", "doc_id", bits=32, bands=4, max_hamming=3))
+    p = plan_of(simhash_near_pairs(d, "text", "doc_id", bits=60, bands=4, max_hamming=3))
     check(
         "dedup simhash_near_pairs (banded chunk equi self-join)",
         p,
