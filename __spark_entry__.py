@@ -991,6 +991,26 @@ def q_ann_ivf_probe2_top1(spark, sf_dir):
     )
 
 
+def q_ann_ivf_join_top1(spark, sf_dir):
+    """IVF-flat top-1, production centroid form: centroids are a
+    DataFrame broadcast-joined and argmax-folded as DATA, not compiled
+    into the plan as literals — plan size is O(1) in the centroid count,
+    so this is the form that survives real IVF scale (8-64k lists; the
+    literal form measured superlinear degradation past ~32). 64
+    centroids here — already past where the literal plan degrades."""
+    from extraction.similarity import ivf_join_topk
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = e.filter(F.col("vec_id") < 30)
+    return ivf_join_topk(e, q, "embedding", "vec_id", centroids=cents, k=1).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+
+
 def q_ann_recall_at_1(spark, sf_dir):
     """Measured accuracy trade of the ANN scale path: recall@1 of
     single-probe and multi-probe bucketed search vs exact brute force,
@@ -1164,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_top1": q_ann_multiprobe_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
         "ann_ivf_probe2_top1": q_ann_ivf_probe2_top1,
+        "ann_ivf_join_top1": q_ann_ivf_join_top1,
         "ann_recall_at_1": q_ann_recall_at_1,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,

@@ -393,6 +393,33 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def cosine_sim_safe(a: Column, b: Column, sentinel: float = -2.0) -> Column:
+    """Cosine similarity with zero-norm vectors pinned to ``sentinel``.
+
+    Under Spark's default ANSI mode a zero-norm vector makes the plain
+    cosine THROW (DIVIDE_BY_ZERO), and with ANSI off it makes NaN —
+    which a `>`-based argmax fold never selects while SQL's ORDER BY
+    cos DESC sorts NaN FIRST (both engines give NaN the top of the
+    total order): a silent Spark/oracle divergence. Guarding on the
+    squared norms BEFORE dividing is deterministic integer-free
+    arithmetic that both engines reproduce exactly; the sentinel ranks
+    a zero vector below every real cosine (∈ [-1, 1])."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na2 = F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    nb2 = F.aggregate(
+        b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    return F.when((na2 == 0.0) | (nb2 == 0.0), F.lit(float(sentinel))).otherwise(
+        dot / (F.sqrt(na2) * F.sqrt(nb2))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

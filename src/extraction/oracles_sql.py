@@ -91,6 +91,25 @@ def _cosine_expr(a: str, b: str, dims: int = 64) -> str:
     return f"((0.0 + {dot}) / (sqrt(0.0 + {na}) * sqrt(0.0 + {nb})))"
 
 
+def _safe_cos(a: str, b: str, dims: int = 64) -> str:
+    """Cosine with zero-norm vectors pinned to the -2.0 sentinel —
+    bit-exact mirror of dedup.cosine_sim_safe (the IVF ranking rule).
+    Guarding on the squared norms BEFORE dividing sidesteps both
+    engines' division edge cases (Spark ANSI throws, DuckDB's total
+    order sorts NaN above everything)."""
+    cos = _cosine_expr(a, b, dims)
+    na = " + ".join(
+        f"CAST({a}[{d}] AS DOUBLE) * CAST({a}[{d}] AS DOUBLE)" for d in range(1, dims + 1)
+    )
+    nb = " + ".join(
+        f"CAST({b}[{d}] AS DOUBLE) * CAST({b}[{d}] AS DOUBLE)" for d in range(1, dims + 1)
+    )
+    return (
+        f"(CASE WHEN (0.0 + {na}) = 0.0 OR (0.0 + {nb}) = 0.0"
+        f" THEN -2.0 ELSE {cos} END)"
+    )
+
+
 def _lsh_bucket_expr(vec: str, planes: int = 4, dims: int = 64) -> str:
     """Mirror of similarity.sign_lsh_bucket (same splitmix-derived signs)."""
     parts = []
@@ -862,14 +881,14 @@ WITH cents AS (
   SELECT vec_id, lst FROM (
     SELECT e.vec_id, c.cid AS lst,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {_cosine_expr("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+             ORDER BY {_safe_cos("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
     FROM embeddings e CROSS JOIN cents c
   ) WHERE rn = 1
 ), listed AS (
   SELECT e.vec_id, e.embedding, a.lst FROM embeddings e JOIN assigned a USING (vec_id)
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {_cosine_expr("q.embedding", "c.embedding")} AS cos_sim
+         {_safe_cos("q.embedding", "c.embedding")} AS cos_sim
   FROM listed q JOIN listed c ON q.lst = c.lst AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 30
 ), ranked AS (
@@ -888,7 +907,7 @@ WITH cents AS (
   SELECT vec_id, lst FROM (
     SELECT e.vec_id, c.cid AS lst,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {_cosine_expr("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+             ORDER BY {_safe_cos("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
     FROM embeddings e CROSS JOIN cents c
   ) WHERE rn = 1
 ), listed AS (
@@ -897,14 +916,49 @@ WITH cents AS (
   SELECT vec_id AS query_id, embedding AS qv, lst AS probe FROM (
     SELECT e.vec_id, e.embedding, c.cid AS lst,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {_cosine_expr("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+             ORDER BY {_safe_cos("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
     FROM embeddings e CROSS JOIN cents c
     WHERE e.vec_id < 30
   ) WHERE rn <= 2
 ), scored AS (
   SELECT p.query_id, c.vec_id AS neighbor_id,
-         {_cosine_expr("p.qv", "c.embedding")} AS cos_sim
+         {_safe_cos("p.qv", "c.embedding")} AS cos_sim
   FROM probes p JOIN listed c ON p.probe = c.lst AND p.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id
+FROM ranked WHERE rn = 1
+"""
+
+# join-form IVF at 64 centroids: relationally identical to ann_ivf_top1
+# (the Spark-side difference — centroids as broadcast DATA vs plan
+# literals — is invisible to SQL, which is exactly the contract)
+ORACLES["ann_ivf_join_top1"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 64
+), cross_sc AS (
+  -- cosine materialized ONCE per (vector, centroid) before ranking: at
+  -- 64 centroids the inline-in-ORDER-BY form re-evaluates a ~17 KB
+  -- expression inside the window sort and has flaked OOM under a
+  -- memory-pressured comparator process
+  SELECT e.vec_id, c.cid, {_safe_cos("e.embedding", "c.cv")} AS sc
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, lst FROM (
+    SELECT vec_id, cid AS lst,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+    FROM cross_sc
+  ) WHERE rn = 1
+), listed AS (
+  SELECT e.vec_id, e.embedding, a.lst FROM embeddings e JOIN assigned a USING (vec_id)
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_safe_cos("q.embedding", "c.embedding")} AS cos_sim
+  FROM listed q JOIN listed c ON q.lst = c.lst AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 30
 ), ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn

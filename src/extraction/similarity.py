@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_sim
+from .dedup import cosine_sim, cosine_sim_safe
 
 
 def sign_lsh_bucket(vec: Column, planes: int = 4, dims: int = 64) -> Column:
@@ -117,14 +117,18 @@ def ivf_topk(
         # measured 51.6 s vs 6 s going 8 -> 32 centroids at sf0.1.
         # Strict > keeps the earlier index on ties (lowest index wins,
         # matching the oracle's ORDER BY cos DESC, cid ASC).
+        # cosine_sim_safe pins a zero-norm vector to the -2.0 sentinel
+        # on BOTH engines — the plain cosine THROWS under Spark's
+        # default ANSI mode and silently diverges from SQL's ORDER BY
+        # with ANSI off (see cosine_sim_safe docstring).
         cents = F.array(
             *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
         )
-        coss = F.transform(cents, lambda c: cosine_sim(vec, c))
+        coss = F.transform(cents, lambda c: cosine_sim_safe(vec, c))
         acc = F.aggregate(
             coss,
             F.struct(
-                F.lit(-2.0).cast("double").alias("best"),
+                F.lit(-3.0).cast("double").alias("best"),
                 F.lit(0).cast("long").alias("idx"),
                 F.lit(0).cast("long").alias("i"),
             ),
@@ -146,7 +150,7 @@ def ivf_topk(
         scoredc = F.transform(
             cents,
             lambda c, i: F.struct(
-                (-cosine_sim(vec, c)).alias("negcos"),
+                (-cosine_sim_safe(vec, c)).alias("negcos"),
                 i.cast("long").alias("idx"),
             ),
         )
@@ -170,7 +174,114 @@ def ivf_topk(
     )
     scored = c.join(
         F.broadcast(q), (F.col("ql") == F.col("cl")) & (F.col("qid") != F.col("nid"))
-    ).select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    ).select("qid", "nid", cosine_sim_safe(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivf_join_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    k: int = 1,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-flat ANN, production centroid form: the centroid table is a
+    DataFrame, not plan literals — the broadcast-join argmax
+    ``ivf_topk``'s docstring promises.
+
+    ``ivf_topk`` compiles every centroid into the expression tree as 64
+    ``F.lit``s (twice: assign + probe), which holds to hundreds of
+    centroids and then degrades superlinearly (measured 2.8 s -> 15.7 s
+    going 8 -> 32 at sf0.1, BENCH/ANN.md) — at real IVF scale (8-64k
+    lists) the plan itself outgrows compilation. Here the centroids are
+    DATA: one tiny aggregate packs them into a single array<struct(cid,
+    cv)> row (sorted by cid), a broadcast cross-join ships that one row
+    to every task, and the same single-pass argmax fold runs over the
+    runtime array column. Plan size is O(1) in the centroid count; per-
+    row work is unchanged; the corpus still never shuffles; the only
+    wide op remains the list-id equi-join. This is exactly a broadcast-
+    join argmax — the join side just arrives pre-packed so the argmax
+    stays a narrow fold instead of a groupBy(corpus-id) shuffle, which
+    would move every corpus vector (reference analog for the
+    model-artifact seat: /root/reference/src/DocumentAnalyzer.py:45-46).
+
+    ``centroids`` must have columns (cid: long, cv: array<numeric>).
+    Ties: lowest cid wins (array sorted by cid + strict > in the fold),
+    identical to ``ivf_topk`` and the SQL oracle's ORDER BY cos DESC,
+    cid ASC. Zero-norm vectors pin to the -2.0 sentinel on both engines
+    via cosine_sim_safe (everywhere: assignment, probe ranking, and the
+    in-list scoring, so a zero vector ranks last instead of throwing).
+    """
+    packed = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("cid").cast("long").alias("cid"), F.col("cv"))
+                )
+            ).alias("__cents")
+        )
+    )
+
+    def _scored_cents(vec):
+        # per-centroid cosine evaluated exactly ONCE inside a transform;
+        # downstream fold/sort only reads struct fields (no CSE across
+        # higher-order functions — a cosine referenced in the fold's
+        # when-branches would be re-evaluated per reference)
+        return F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cosine_sim_safe(vec, c["cv"]).alias("cos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    def best_cid(vec):
+        acc = F.aggregate(
+            _scored_cents(vec),
+            F.struct(
+                F.lit(-3.0).cast("double").alias("best"),
+                F.lit(-1).cast("long").alias("cid"),
+            ),
+            lambda a, s: F.struct(
+                F.when(s["cos"] > a["best"], s["cos"]).otherwise(a["best"]).alias("best"),
+                F.when(s["cos"] > a["best"], s["cid"]).otherwise(a["cid"]).alias("cid"),
+            ),
+        )
+        return acc["cid"]
+
+    def probe_cids(vec):
+        neg = F.transform(
+            _scored_cents(vec),
+            lambda s: F.struct((-s["cos"]).alias("negcos"), s["cid"].alias("cid")),
+        )
+        return F.transform(F.slice(F.array_sort(neg), 1, nprobe), lambda t: t["cid"])
+
+    c = corpus.crossJoin(packed).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        best_cid(F.col(vec_col)).alias("cl"),
+    )
+    q = queries.crossJoin(packed).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_cids(F.col(vec_col))).alias("ql")
+        if nprobe > 1
+        else best_cid(F.col(vec_col)).alias("ql"),
+    )
+    scored = c.join(
+        F.broadcast(q), (F.col("ql") == F.col("cl")) & (F.col("qid") != F.col("nid"))
+    ).select("qid", "nid", cosine_sim_safe(F.col("qv"), F.col("cv")).alias("cos_sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -143,3 +143,56 @@ def test_multiprobe_dominates_single_probe(spark):
     hits_single = sum(1 for k_, v in single.items() if bf.get(k_) == v)
     hits_multi = sum(1 for k_, v in multi.items() if bf.get(k_) == v)
     assert hits_multi >= hits_single
+
+
+# --- IVF: join-form (centroids as data) must equal literal-form ---
+
+def test_ivf_join_form_matches_literal_form(spark):
+    from extraction.similarity import ivf_join_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    cents_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    lits = [list(r.embedding) for r in cents_rows]
+    cents_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("embedding").alias("cv")
+    )
+    for nprobe in (1, 2):
+        lit = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ivf_topk(
+                emb, q, "embedding", "vec_id", centroids=lits, k=2, nprobe=nprobe
+            ).collect()
+        }
+        join = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ivf_join_topk(
+                emb, q, "embedding", "vec_id", centroids=cents_df, k=2, nprobe=nprobe
+            ).collect()
+        }
+        # identical output contract: same (query, rank) -> neighbor map
+        assert join == lit
+
+
+def test_ivf_join_form_nan_pins_to_sentinel(spark):
+    # a zero-norm vector has NaN cosine against everything; the nanvl
+    # sentinel must assign it like a -2.0 score (lowest-cid argmax wins),
+    # never propagate NaN into the assignment
+    from extraction.similarity import ivf_join_topk
+
+    rows = [
+        (0, [1.0] + [0.0] * 63),
+        (1, [0.0, 1.0] + [0.0] * 62),
+        (2, [0.0] * 64),  # zero-norm: NaN cosine
+        (3, [1.0, 1.0] + [0.0] * 62),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = ivf_join_topk(
+        df, df.filter(F.col("vec_id") == 3), "embedding", "vec_id",
+        centroids=cents, k=1,
+    ).collect()
+    # query 3 lands in list 0 (tie cos -> lowest cid); vec 0 shares it
+    assert len(out) == 1 and out[0].neighbor_id == 0
