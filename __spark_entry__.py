@@ -804,6 +804,42 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return pairs.groupBy().agg(F.count("*").alias("n_pairs"))
 
 
+def q_dedup_embedding_cosine_p8(spark, sf_dir):
+    """Second operating point of the blocked embedding near-dup:
+    planes=8 (256 buckets vs planes=4's 16). The point being
+    demonstrated: planes is the corpus-size knob — the blocked
+    self-join is quadratic WITHIN buckets, so doubling planes multiplies
+    the bucket count ×16 and divides the in-bucket candidate pairs
+    accordingly. Returns the evidence alongside the result: bucket
+    count, the largest bucket, and the exact number of in-bucket
+    candidate pairs (Σ nb·(nb−1)/2) the verifier must score — the
+    quadratic-bound number that must stay sane as the corpus grows.
+    The price is recall at block boundaries (pairs split by any of the
+    8 hyperplanes are never scored; at sf0.01 n_pairs drops to 0 where
+    planes=4 still finds some) — at production scale the remedy is
+    multi-probing the flipped-bit buckets (multiprobe_topk's pattern),
+    paying (planes+1)× probes to recover boundary pairs."""
+    from extraction.dedup import embedding_neardup_pairs
+    from extraction.similarity import sign_lsh_bucket
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", sign_lsh_bucket(F.col("embedding"), planes=8, dims=64)
+    )
+    pairs = embedding_neardup_pairs(
+        e, "embedding", "vec_id", threshold=0.5, block_col="bucket"
+    )
+    bstats = (
+        e.groupBy("bucket")
+        .agg(F.count("*").alias("nb"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("nb").alias("max_bucket"),
+            F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long").alias("cand_pairs"),
+        )
+    )
+    return pairs.agg(F.count("*").alias("n_pairs")).crossJoin(bstats)
+
+
 def q_dedup_lsh_degenerate(spark, sf_dir):
     """Sentinel-bucket guard under a degenerate-heavy corpus (the 100 TB
     hazard): a third of docs emptied, a third shortened below the shingle
@@ -1178,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_tiered": q_dedup_tiered,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_p8": q_dedup_embedding_cosine_p8,
         "ann_bruteforce_top1": q_ann_bruteforce_top1,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_top1": q_ann_lsh_top1,

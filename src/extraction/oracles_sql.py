@@ -643,6 +643,26 @@ FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
 WHERE {_cosine_expr("a.embedding", "b.embedding")} >= 0.5
 """
 
+# planes=8 operating point + bucket-size evidence (the quadratic-bound
+# numbers: bucket count, largest bucket, Σ nb·(nb−1)/2 candidate pairs)
+ORACLES["dedup_embedding_cosine_p8"] = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_expr("embedding", planes=8)} AS bucket FROM embeddings
+), np AS (
+  SELECT COUNT(*) AS n_pairs
+  FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+  WHERE {_cosine_expr("a.embedding", "b.embedding")} >= 0.5
+), bs AS (
+  SELECT COUNT(*) AS n_buckets,
+         CAST(MAX(nb) AS BIGINT) AS max_bucket,
+         CAST(SUM(nb * (nb - 1) / 2) AS BIGINT) AS cand_pairs
+  FROM (SELECT bucket, COUNT(*) AS nb FROM bucketed GROUP BY bucket)
+)
+SELECT np.n_pairs AS n_pairs, bs.n_buckets AS n_buckets,
+       bs.max_bucket AS max_bucket, bs.cand_pairs AS cand_pairs
+FROM np, bs
+"""
+
 ORACLES["ann_bruteforce_top1"] = f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -191,7 +191,8 @@ def main() -> int:
         },
     )
 
-    # --- tiered dedup funnel: equi-joins end to end, no cross-product ---
+    # --- tiered dedup funnel: equi-joins end to end, no cross-product,
+    #     verify stage pruned to the candidate population ---
     import __spark_entry__ as entry
 
     tiered = entry.q_dedup_tiered(spark, SF_DIR)
@@ -200,7 +201,7 @@ def main() -> int:
     # join operators on the simple plan string, like the exchange count
     tsimple = tiered._jdf.queryExecution().executedPlan().toString()
     check(
-        "dedup tiered funnel (simhash ∪ minhash candidates -> exact verify)",
+        "dedup tiered funnel (simhash ∪ minhash candidates -> pruned exact verify)",
         p,
         {
             "no cartesian / nested-loop join": "CartesianProduct" not in tsimple
@@ -208,6 +209,62 @@ def main() -> int:
             # BroadcastNestedLoopJoin on single rows); the candidate and
             # verify joins themselves must all be equi-joins
             and tsimple.count("BroadcastNestedLoopJoin") <= 3,
+            # the verify stage must shingle ONLY the candidate population:
+            # a broadcast left-semi join of the candidate-id set against
+            # the corpus sits below the shingle projection (round 2
+            # re-shingled the FULL corpus here)
+            "verify shingling pruned by broadcast semi-join": (
+                "LeftSemi" in tsimple and "BroadcastHashJoin" in tsimple
+            ),
+        },
+    )
+
+    # --- planes=8 blocked embedding near-dup: still an equi self-join ---
+    p8 = entry.q_dedup_embedding_cosine_p8(spark, SF_DIR)
+    p = plan_of(p8)
+    p8simple = p8._jdf.queryExecution().executedPlan().toString()
+    check(
+        "dedup embedding_neardup planes=8 (256-bucket blocked self-join)",
+        p,
+        {
+            "bucket-blocked equi join, no cartesian": "CartesianProduct"
+            not in p8simple
+            # the evidence row crossJoins two 1-row aggregates
+            and p8simple.count("BroadcastNestedLoopJoin") <= 1,
+        },
+    )
+
+    # --- IVF join-form: plan size must be O(1) in the centroid count ---
+    from extraction.similarity import ivf_join_topk
+
+    def ivf_join_plan(n_cents: int) -> str:
+        cents = e.filter(F.col("vec_id") < n_cents).select(
+            F.col("vec_id").cast("long").alias("cid"),
+            F.col("embedding").alias("cv"),
+        )
+        return plan_of(
+            ivf_join_topk(
+                e, q, "embedding", "vec_id", centroids=cents, k=1, nprobe=1
+            )
+        )
+
+    p_8 = ivf_join_plan(8)
+    p_64 = ivf_join_plan(64)
+    check(
+        "ann ivf_join_topk (centroids as broadcast DATA, not plan literals)",
+        p_64,
+        {
+            # the literal form's plan grows ~linearly with the centroid
+            # count (64 F.lits per centroid, twice); the join form's plan
+            # must be essentially IDENTICAL in size at 8 vs 64 centroids
+            # (only the filter constant differs)
+            "plan size O(1) in centroid count (8 vs 64 within 2%)": abs(
+                len(p_64) - len(p_8)
+            )
+            < len(p_8) // 50 + 100,
+            "centroid table broadcast": "BroadcastExchange" in p_64,
+            "list equi-join present (corpus never shuffles)": "BroadcastHashJoin"
+            in p_64,
         },
     )
 
