@@ -29,8 +29,11 @@ def sign_lsh_bucket(vec: Column, planes: int = 4, dims: int = 64) -> Column:
     """LSH bucket id in [0, 2^planes): bit p = sign of <v, h_p>.
 
     Hyperplane h_p has deterministic ±1 components: component d is
-    +1 iff bit (d + p) of a fixed md5-derived constant pattern is 1 —
-    cheap, data-independent, and expressible in plain SQL.
+    +1 iff bit (d mod 64) of the plane's own splitmix64-derived pattern
+    (seed 0xC0FFEE + p) is 1 — cheap, data-independent, and expressible
+    in plain SQL. At dims <= 64 every component reads a distinct pattern
+    bit; beyond 64 dims the pattern repeats (swap in a second seed word
+    per extra 64 dims before using wider vectors).
     """
     from .corpus import _splitmix64
 
