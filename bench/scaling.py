@@ -298,6 +298,23 @@ def main() -> int:
              "BASELINE.md report (secondary-evidence runs)",
     )
     p.add_argument(
+        "--gate", type=float, default=0.0,
+        help="quiet-window canary gate (seconds): before each measured "
+             "run/pair, run the SAME job on a 240k-doc corpus at local[8] "
+             "and wait until its kernel wall is under this threshold. The "
+             "box's deliverable parallel capacity drifts ~2x on an hours "
+             "scale WITHOUT visible CPU steal (identical local[8]@1M runs "
+             "measured 152.6-678.6 s across one afternoon); the canary "
+             "certifies the window before the expensive pair spends it. "
+             "~40 s is quiet for 240k@local[8] on this box; 0 disables.",
+    )
+    p.add_argument("--gate-docs", type=int, default=240000)
+    p.add_argument(
+        "--gate-max-wait", type=float, default=2400.0,
+        help="give up waiting for a quiet window after this many seconds "
+             "and run anyway (recorded in the JSON)",
+    )
+    p.add_argument(
         "--interleave", action="store_true",
         help="alternate N / 4N runs (N,4N,N,4N,...) instead of running all "
              "N repeats then all 4N repeats. On a noisy-neighbor box the "
@@ -317,10 +334,39 @@ def main() -> int:
     corpus = os.path.join(a.workdir, f"corpus_{a.docs}_{a.heavy_spans}_{corpus_ver}")
     gen_corpus(a.docs, a.heavy_spans, corpus)
 
+    canary_log: list[dict] = []
+
+    def gate() -> None:
+        """Block until a 240k@local[8] canary run certifies a quiet window."""
+        if not a.gate:
+            return
+        gcorpus = os.path.join(
+            a.workdir, f"corpus_{a.gate_docs}_{a.heavy_spans}_{corpus_ver}"
+        )
+        gen_corpus(a.gate_docs, a.heavy_spans, gcorpus)
+        t_start = time.monotonic()
+        attempt = 0
+        while True:
+            c = run_submit(8, gcorpus, a.workdir, "canary", 0)
+            shutil.rmtree(c["output"], ignore_errors=True)
+            shutil.rmtree(c["lineage"], ignore_errors=True)
+            waited = round(time.monotonic() - t_start, 1)
+            canary_log.append(
+                {"wall_sec": c["wall_sec"], "waited_sec": waited, "attempt": attempt}
+            )
+            if c["wall_sec"] <= a.gate:
+                return
+            if waited > a.gate_max_wait:
+                canary_log.append({"gave_up": True, "waited_sec": waited})
+                return
+            attempt += 1
+            time.sleep(60)
+
     pair_effs = None
     if a.interleave:
         runs_n, runs_n4 = [], []
         for r in range(a.repeats):
+            gate()  # certify the window the WHOLE pair runs in
             runs_n.append(run_submit(a.n, corpus, a.workdir, f"n{a.n}", r))
             runs_n4.append(run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r))
         pair_effs = [
@@ -329,7 +375,9 @@ def main() -> int:
         ]
         run_n, run_n4 = pick_best(runs_n), pick_best(runs_n4)
     else:
+        gate()
         run_n = best_of(a.n, corpus, a.workdir, f"n{a.n}", a.repeats)
+        gate()
         run_n4 = best_of(a.n4, corpus, a.workdir, f"n{a.n4}", a.repeats)
 
     eff = run_n4["docs_per_sec"] / ((a.n4 / a.n) * run_n["docs_per_sec"])
@@ -340,6 +388,12 @@ def main() -> int:
     }
     if pair_effs is not None:
         result["interleaved_pair_efficiencies"] = pair_effs
+    if canary_log:
+        result["gate"] = {
+            "threshold_sec": a.gate,
+            "gate_docs": a.gate_docs,
+            "canary_runs": canary_log,
+        }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     json_path = os.path.join(REPO, "BENCH", f"scaling{a.out_label}.json")
     # persist the expensive submit results BEFORE verification, so a
