@@ -788,6 +788,31 @@ def q_dedup_lsh_verified(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pairs → connected components → survivor per component:
+    the dedup DECISION stage (pairs alone don't dedup anything — the
+    KEEP/DROP set needs transitive closure: if A~B and B~C, one survivor
+    for {A,B,C}, not two independent pair resolutions). Iterative
+    min-label propagation over the verified-pair graph; component label
+    = min doc id = the canonical survivor."""
+    from extraction.dedup import lsh_verified_pairs, neardup_components
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    pairs = lsh_verified_pairs(
+        d, "text", "doc_id", k=3, perms=16, bands=4,
+        threshold_num=1, threshold_den=2,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    comp = neardup_components(pairs)
+    return comp.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+        (F.col("id") == F.col("component")).cast("long").alias("is_survivor"),
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup, blocked by sign-LSH bucket — the scale shape:
     the O(n²) cosine join runs only within buckets (16× fewer pairs at
@@ -1210,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_components": q_dedup_components,
         "dedup_lsh_degenerate": q_dedup_lsh_degenerate,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_tiered": q_dedup_tiered,

@@ -310,6 +310,13 @@ def main() -> int:
     )
     p.add_argument("--gate-docs", type=int, default=240000)
     p.add_argument(
+        "--gate-membw", type=float, default=3.0,
+        help="minimum memcpy bandwidth (GB/s, median-of-5 on 200 MB) two "
+             "probes in a row before a Spark canary is even attempted — "
+             "the cheap pre-filter for the box's invisible bandwidth-"
+             "contention episodes (0.2-2 GB/s crushed vs ~3+ quiet)",
+    )
+    p.add_argument(
         "--gate-max-wait", type=float, default=2400.0,
         help="give up waiting for a quiet window after this many seconds "
              "and run anyway (recorded in the JSON)",
@@ -336,8 +343,34 @@ def main() -> int:
 
     canary_log: list[dict] = []
 
+    def membw_gbps() -> float:
+        """Median-of-5 memcpy bandwidth (GB/s) on a 200 MB buffer — a
+        2-second probe for the box's documented INVISIBLE contention
+        mode: neighbor pressure collapses deliverable memory bandwidth
+        (measured 0.2 GB/s during an episode vs ~3+ quiet) while CPU
+        steal stays at 2-6% and cache-resident compute is unaffected.
+        The python kernel streams Arrow buffers, so extraction walls
+        track this number almost directly."""
+        import statistics
+
+        import numpy as np
+
+        buf = np.zeros(200_000_000, dtype=np.uint8)
+        buf.fill(1)  # fault pages in before timing
+        walls = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            c = buf.copy()
+            walls.append(time.perf_counter() - t0)
+            del c
+        return 0.2 / statistics.median(walls)
+
     def gate() -> None:
-        """Block until a 240k@local[8] canary run certifies a quiet window."""
+        """Block until the window is quiet: a 2-second memcpy probe must
+        clear --gate-membw twice in a row (cheap pre-filter — a Spark
+        canary in a crushed window itself takes 10+ minutes), then one
+        240k@local[8] canary run of the REAL job must land under
+        --gate seconds (the authoritative signal)."""
         if not a.gate:
             return
         gcorpus = os.path.join(
@@ -346,20 +379,38 @@ def main() -> int:
         gen_corpus(a.gate_docs, a.heavy_spans, gcorpus)
         t_start = time.monotonic()
         attempt = 0
+        streak = 0
         while True:
+            waited = round(time.monotonic() - t_start, 1)
+            if waited > a.gate_max_wait:
+                canary_log.append({"gave_up": True, "waited_sec": waited})
+                return
+            bw = round(membw_gbps(), 2)
+            if bw < a.gate_membw:
+                canary_log.append({"membw_gbps": bw, "waited_sec": waited})
+                streak = 0
+                time.sleep(45)
+                continue
+            streak += 1
+            if streak < 2:  # two consecutive quiet probes, 45 s apart
+                time.sleep(45)
+                continue
             c = run_submit(8, gcorpus, a.workdir, "canary", 0)
             shutil.rmtree(c["output"], ignore_errors=True)
             shutil.rmtree(c["lineage"], ignore_errors=True)
             waited = round(time.monotonic() - t_start, 1)
             canary_log.append(
-                {"wall_sec": c["wall_sec"], "waited_sec": waited, "attempt": attempt}
+                {
+                    "membw_gbps": bw,
+                    "wall_sec": c["wall_sec"],
+                    "waited_sec": waited,
+                    "attempt": attempt,
+                }
             )
             if c["wall_sec"] <= a.gate:
                 return
-            if waited > a.gate_max_wait:
-                canary_log.append({"gave_up": True, "waited_sec": waited})
-                return
             attempt += 1
+            streak = 0
             time.sleep(60)
 
     pair_effs = None

@@ -372,6 +372,72 @@ def lsh_verified_pairs(
     )
 
 
+def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair table — the step that
+    turns pairwise matches into the dedup DECISION: every doc in a
+    component keeps/drops against the component's canonical survivor
+    (min id, which IS the component label).
+
+    Input: (id_a, id_b) long columns. Output: (id, component) for every
+    id that appears in some pair; component = min id reachable through
+    the pair graph.
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    takes the min of its own label and its neighbors' labels; converges
+    in O(graph diameter) rounds (transitive near-dup chains are short in
+    practice; web-dedup components are star-ish around a canonical page).
+    Each round is ONE shuffle of the edge table joined to the current
+    labels — the classic Spark CC shape (large-star/small-star degenerates
+    to this for min-propagation). The driver-side loop control reads one
+    scalar per round (the label-sum, strictly decreasing until fixpoint)
+    — iteration control, not a data path.
+
+    Scale notes: the input is the VERIFIED pair table — permille of the
+    corpus after the LSH funnel — so even at 10^12 docs the edge table is
+    orders smaller than the corpus. Labels are persisted and
+    lineage-truncated per round (localCheckpoint) so round k does not
+    recompute rounds 1..k-1; production on a cluster would use a
+    checkpoint dir (localCheckpoint loses partitions on executor death —
+    acceptable here: local mode, and the loop restarts cheaply).
+    ``max_iter`` bounds pathological chains; hitting it raises rather
+    than silently emitting unconverged components.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # truncate lineage: round k must not replay 1..k-1
+        )
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # min-propagation: sum strictly decreases until fixpoint
+            edges.unpersist()
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"neardup_components did not converge in {max_iter} rounds "
+        "(pathological chain — raise max_iter)"
+    )
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float|double> columns, built-ins only.
 

@@ -634,6 +634,48 @@ FROM scored
 WHERE inter * 2 >= (nsh_a + nsh_b - inter) * 1
 """
 
+# connected components over the verified near-dup pairs: min-label
+# reachability via recursive CTE (the UNION dedups (id, comp) states, so
+# the recursion enumerates each reachable label once and terminates);
+# MIN over reachable labels == Spark's min-propagation fixpoint
+ORACLES["dedup_components"] = f"""
+WITH RECURSIVE {_NORM_WORDS_CTE[1:]},
+{_WS_CTE[1:]},
+sh AS (
+  SELECT doc_id, {_shingles_expr(3)} AS shingles FROM wsed
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hashes
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_MH16} FROM hashed WHERE len(hashes) > 0
+), pairs AS (
+{_LSH_JOINS}
+), vpairs AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON p.id_a = sa.doc_id
+  JOIN sh sb ON p.id_b = sb.doc_id
+  WHERE len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) * 2
+        >= len(sa.shingles) + len(sb.shingles)
+           - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM vpairs
+), verts AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach AS (
+  SELECT id, id AS comp FROM verts
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(MIN(comp) AS BIGINT) AS component,
+       CAST(CASE WHEN MIN(comp) = id THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+FROM reach GROUP BY id
+"""
+
 ORACLES["dedup_embedding_cosine"] = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_lsh_bucket_expr("embedding")} AS bucket FROM embeddings

@@ -196,3 +196,36 @@ def test_ivf_join_form_nan_pins_to_sentinel(spark):
     ).collect()
     # query 3 lands in list 0 (tie cos -> lowest cid); vec 0 shares it
     assert len(out) == 1 and out[0].neighbor_id == 0
+
+
+# --- near-dup connected components (the dedup KEEP/DROP decision) ---
+
+def test_neardup_components_transitive_closure(spark):
+    from extraction.dedup import neardup_components
+
+    # chain 1-2-3 (one component via transitivity), pair 10-11,
+    # pathological long chain 20..26, self-contained triangle 30,31,32
+    pairs = [(1, 2), (2, 3), (10, 11)] + [
+        (i, i + 1) for i in range(20, 26)
+    ] + [(30, 31), (31, 32), (30, 32)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r.id: r.component for r in neardup_components(df).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        **{i: 20 for i in range(20, 27)},
+        30: 30, 31: 30, 32: 30,
+    }
+
+
+def test_neardup_components_max_iter_raises(spark):
+    import pytest as _pytest
+
+    from extraction.dedup import neardup_components
+
+    chain = [(i, i + 1) for i in range(0, 12)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError):
+        neardup_components(df, max_iter=2)
