@@ -414,7 +414,12 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .select("id", F.col("id").alias("component"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # decimal(38,0) sum: at 10^12-doc scale a long sum of 64-bit labels
+    # overflows (and ANSI mode turns that into a job failure)
+    def label_sum(df):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -425,7 +430,7 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # truncate lineage: round k must not replay 1..k-1
         )
-        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # min-propagation: sum strictly decreases until fixpoint
