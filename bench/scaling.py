@@ -322,6 +322,13 @@ def main() -> int:
              "and run anyway (recorded in the JSON)",
     )
     p.add_argument(
+        "--stop-at-eff", type=float, default=0.0,
+        help="with --interleave: stop launching further pairs once a "
+             "pair's efficiency reaches this value (0 disables). The "
+             "protocol is repeat-until-verified-quiet-window; every wall "
+             "from every attempted pair is still recorded.",
+    )
+    p.add_argument(
         "--interleave", action="store_true",
         help="alternate N / 4N runs (N,4N,N,4N,...) instead of running all "
              "N repeats then all 4N repeats. On a noisy-neighbor box the "
@@ -386,6 +393,7 @@ def main() -> int:
                 canary_log.append({"gave_up": True, "waited_sec": waited})
                 return
             bw = round(membw_gbps(), 2)
+            print(f"GATE membw={bw} GB/s waited={waited}s", flush=True)
             if bw < a.gate_membw:
                 canary_log.append({"membw_gbps": bw, "waited_sec": waited})
                 streak = 0
@@ -407,6 +415,7 @@ def main() -> int:
                     "attempt": attempt,
                 }
             )
+            print(f"GATE canary wall={c['wall_sec']}s (threshold {a.gate})", flush=True)
             if c["wall_sec"] <= a.gate:
                 return
             attempt += 1
@@ -418,8 +427,45 @@ def main() -> int:
         runs_n, runs_n4 = [], []
         for r in range(a.repeats):
             gate()  # certify the window the WHOLE pair runs in
-            runs_n.append(run_submit(a.n, corpus, a.workdir, f"n{a.n}", r))
-            runs_n4.append(run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r))
+            # bracket each run with the 2-sec bandwidth probe: a pair is
+            # only as good as its window, and at 1M docs the pair outlives
+            # the box's ~10-min noise cycle — the probes put did-the-
+            # window-hold evidence next to every wall instead of leaving
+            # anti-correlated halves (measured pairs 0.708/0.523/0.374
+            # from one gated run) unexplainable after the fact
+            bw0 = round(membw_gbps(), 2)
+            rn = run_submit(a.n, corpus, a.workdir, f"n{a.n}", r)
+            bw1 = round(membw_gbps(), 2)
+            rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r)
+            bw2 = round(membw_gbps(), 2)
+            rn["membw_gbps_around"] = [bw0, bw1]
+            rn4["membw_gbps_around"] = [bw1, bw2]
+            runs_n.append(rn)
+            runs_n4.append(rn4)
+            eff_pair = rn4["docs_per_sec"] / ((a.n4 / a.n) * rn["docs_per_sec"])
+            print(
+                f"PAIR {r} eff={eff_pair:.3f} membw={bw0}/{bw1}/{bw2}",
+                flush=True,
+            )
+            # persist progress after every pair: a multi-hour gated run
+            # must not lose completed 1M-doc submits to a late kill
+            partial = {
+                "partial": True,
+                "runs_n": runs_n,
+                "runs_n4": runs_n4,
+                "pair_efficiencies": [
+                    round(h["docs_per_sec"] / ((a.n4 / a.n) * l["docs_per_sec"]), 3)
+                    for l, h in zip(runs_n, runs_n4)
+                ],
+                "gate": canary_log,
+            }
+            os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+            with open(
+                os.path.join(REPO, "BENCH", f"scaling{a.out_label}.partial.json"), "w"
+            ) as f:
+                json.dump(partial, f, indent=2)
+            if a.stop_at_eff and eff_pair >= a.stop_at_eff:
+                break
         pair_effs = [
             round(h["docs_per_sec"] / ((a.n4 / a.n) * l["docs_per_sec"]), 3)
             for l, h in zip(runs_n, runs_n4)
