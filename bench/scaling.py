@@ -434,9 +434,17 @@ def main() -> int:
             # anti-correlated halves (measured pairs 0.708/0.523/0.374
             # from one gated run) unexplainable after the fact
             bw0 = round(membw_gbps(), 2)
-            rn = run_submit(a.n, corpus, a.workdir, f"n{a.n}", r)
-            bw1 = round(membw_gbps(), 2)
-            rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r)
+            try:
+                rn = run_submit(a.n, corpus, a.workdir, f"n{a.n}", r)
+                bw1 = round(membw_gbps(), 2)
+                rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r)
+            except subprocess.TimeoutExpired:
+                # a crushed window can stretch a 1M local[2] run past the
+                # submit timeout; that invalidates THIS pair, not the
+                # whole protocol — skip to the next gate
+                print(f"PAIR {r} timed out (crushed window), skipping", flush=True)
+                canary_log.append({"pair_timeout": r})
+                continue
             bw2 = round(membw_gbps(), 2)
             rn["membw_gbps_around"] = [bw0, bw1]
             rn4["membw_gbps_around"] = [bw1, bw2]
@@ -466,6 +474,8 @@ def main() -> int:
                 json.dump(partial, f, indent=2)
             if a.stop_at_eff and eff_pair >= a.stop_at_eff:
                 break
+        if not runs_n:
+            raise SystemExit("every pair timed out — no measurement to report")
         pair_effs = [
             round(h["docs_per_sec"] / ((a.n4 / a.n) * l["docs_per_sec"]), 3)
             for l, h in zip(runs_n, runs_n4)
