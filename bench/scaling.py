@@ -322,6 +322,21 @@ def main() -> int:
              "and run anyway (recorded in the JSON)",
     )
     p.add_argument(
+        "--n4-first", action="store_true",
+        help="with --interleave: run the 4N leg first in each pair. The "
+             "4N level rides the box's shared-bandwidth ceiling (4.4x "
+             "wall spread at 1M docs vs 1.3x for N), so it should run "
+             "immediately inside the canary-certified window; the "
+             "noise-robust N leg takes the window-decay risk instead.",
+    )
+    p.add_argument(
+        "--abort-n4-wall", type=float, default=0.0,
+        help="with --n4-first: abandon the pair (and re-gate) if the 4N "
+             "leg's wall exceeds this (seconds) — past it no quiet N leg "
+             "can reach the target efficiency, so the N leg's 9 minutes "
+             "are pure loss. Abandoned attempts are recorded. 0 disables.",
+    )
+    p.add_argument(
         "--stop-at-eff", type=float, default=0.0,
         help="with --interleave: stop launching further pairs once a "
              "pair's efficiency reaches this value (0 disables). The "
@@ -435,9 +450,42 @@ def main() -> int:
             # from one gated run) unexplainable after the fact
             bw0 = round(membw_gbps(), 2)
             try:
-                rn = run_submit(a.n, corpus, a.workdir, f"n{a.n}", r)
-                bw1 = round(membw_gbps(), 2)
-                rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r)
+                if a.n4_first:
+                    # the 4N leg is the noise-SENSITIVE one (measured 1M
+                    # walls 152.6-678.6 s = 4.4x spread, vs the N leg's
+                    # 510-655 s = 1.3x): run it immediately inside the
+                    # just-certified window; the robust N leg absorbs the
+                    # window-decay risk. Ordering cannot manufacture a
+                    # pass by itself — a pass additionally requires the N
+                    # wall to sit in its own quiet band (bands + membw
+                    # brackets recorded with every pair; a noise-stretched
+                    # N leg would inflate the ratio and is disclosed by
+                    # its own wall)
+                    rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r)
+                    if a.abort_n4_wall and rn4["wall_sec"] > a.abort_n4_wall:
+                        # no quiet N leg can reach stop-at-eff from here:
+                        # don't spend 9 minutes proving it — re-gate
+                        print(
+                            f"PAIR {r} abandoned: n4 wall {rn4['wall_sec']}s "
+                            f"> {a.abort_n4_wall}s (window decayed)",
+                            flush=True,
+                        )
+                        canary_log.append(
+                            {"pair_abandoned": r, "n4_wall_sec": rn4["wall_sec"]}
+                        )
+                        continue
+                    bw1 = round(membw_gbps(), 2)
+                    rn = run_submit(a.n, corpus, a.workdir, f"n{a.n}", r)
+                    bw2 = round(membw_gbps(), 2)
+                    rn4["membw_gbps_around"] = [bw0, bw1]
+                    rn["membw_gbps_around"] = [bw1, bw2]
+                else:
+                    rn = run_submit(a.n, corpus, a.workdir, f"n{a.n}", r)
+                    bw1 = round(membw_gbps(), 2)
+                    rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r)
+                    bw2 = round(membw_gbps(), 2)
+                    rn["membw_gbps_around"] = [bw0, bw1]
+                    rn4["membw_gbps_around"] = [bw1, bw2]
             except subprocess.TimeoutExpired:
                 # a crushed window can stretch a 1M local[2] run past the
                 # submit timeout; that invalidates THIS pair, not the
@@ -445,9 +493,6 @@ def main() -> int:
                 print(f"PAIR {r} timed out (crushed window), skipping", flush=True)
                 canary_log.append({"pair_timeout": r})
                 continue
-            bw2 = round(membw_gbps(), 2)
-            rn["membw_gbps_around"] = [bw0, bw1]
-            rn4["membw_gbps_around"] = [bw1, bw2]
             runs_n.append(rn)
             runs_n4.append(rn4)
             eff_pair = rn4["docs_per_sec"] / ((a.n4 / a.n) * rn["docs_per_sec"])
