@@ -72,12 +72,27 @@ def gen_corpus(docs: int, heavy_spans: int, path: str) -> None:
         spark.stop()
 
 
-def run_submit(cores: int, corpus: str, workdir: str, tag: str, rep: int) -> dict:
+def run_submit(
+    cores: int, corpus: str, workdir: str, tag: str, rep: int,
+    cpuset_factor: int = 0,
+) -> dict:
     """One spark-submit run at local[cores]; returns parsed metrics.
 
     Output/lineage dirs are suffixed with the repeat index so the
     correctness checks in verify_and_skew really cover the BEST repeat
-    (whose wall is reported), not whichever repeat ran last."""
+    (whose wall is reported), not whichever repeat ran last.
+
+    cpuset_factor > 0 pins the whole process tree (JVM + forked python
+    workers inherit the affinity mask) to ``cores * cpuset_factor``
+    vCPUs via taskset. Why: an UNPINNED local[2] run borrows idle host
+    capacity far beyond its nominal size — GC threads, parquet decode,
+    netty IO and the python workers all spill onto free cores (measured:
+    the same 1M-doc local[2] job ran 510.7 s in a moderate window and
+    285.2 s in an idle one, 1.8x, while local[8] moved only 1.1x). A
+    real cluster's N executors are cgroup-capped and cannot borrow, so
+    the honest single-box analog of "N vs 4N executors" pins each level
+    to a fixed CPU budget (2 vCPUs per task slot: one JVM thread + one
+    python worker, see module doc)."""
     out = os.path.join(workdir, f"out_{tag}_r{rep}")
     lineage = os.path.join(workdir, f"lineage_{tag}_r{rep}")
     shutil.rmtree(out, ignore_errors=True)
@@ -88,7 +103,11 @@ def run_submit(cores: int, corpus: str, workdir: str, tag: str, rep: int) -> dic
         if f.endswith(".parquet")
     )
     spark_submit = shutil.which("spark-submit")
-    cmd = [
+    prefix = []
+    if cpuset_factor:
+        n_cpus = cores * cpuset_factor
+        prefix = ["taskset", "-c", f"0-{n_cpus - 1}"]
+    cmd = prefix + [
         spark_submit,
         "--master", f"local[{cores}]",
         # MUST be on the command line: spark-submit launches the JVM
@@ -147,8 +166,12 @@ def pick_best(runs: list) -> dict:
     return best
 
 
-def best_of(cores: int, corpus: str, workdir: str, tag: str, repeats: int) -> dict:
-    return pick_best([run_submit(cores, corpus, workdir, tag, r) for r in range(repeats)])
+def best_of(
+    cores: int, corpus: str, workdir: str, tag: str, repeats: int, cpuset: int = 0
+) -> dict:
+    return pick_best(
+        [run_submit(cores, corpus, workdir, tag, r, cpuset) for r in range(repeats)]
+    )
 
 
 def verify_and_skew(run_n: dict, run_n4: dict, sample: int) -> dict:
@@ -322,6 +345,16 @@ def main() -> int:
              "and run anyway (recorded in the JSON)",
     )
     p.add_argument(
+        "--cpuset-factor", type=int, default=0,
+        help="pin each run (JVM + python workers) to cores*FACTOR vCPUs "
+             "via taskset — the single-box analog of fixed-size cgrouped "
+             "executors. Unpinned local[k] borrows idle host capacity "
+             "(measured 1.8x on the N leg in an idle window), which makes "
+             "the N->4N ratio depend on the neighbor's mood instead of "
+             "the pipeline. 2 = one JVM thread + one python worker per "
+             "task slot. 0 disables (legacy unpinned protocol).",
+    )
+    p.add_argument(
         "--n4-first", action="store_true",
         help="with --interleave: run the 4N leg first in each pair. The "
              "4N level rides the box's shared-bandwidth ceiling (4.4x "
@@ -418,7 +451,7 @@ def main() -> int:
             if streak < 2:  # two consecutive quiet probes, 45 s apart
                 time.sleep(45)
                 continue
-            c = run_submit(8, gcorpus, a.workdir, "canary", 0)
+            c = run_submit(8, gcorpus, a.workdir, "canary", 0, a.cpuset_factor)
             shutil.rmtree(c["output"], ignore_errors=True)
             shutil.rmtree(c["lineage"], ignore_errors=True)
             waited = round(time.monotonic() - t_start, 1)
@@ -461,7 +494,7 @@ def main() -> int:
                     # brackets recorded with every pair; a noise-stretched
                     # N leg would inflate the ratio and is disclosed by
                     # its own wall)
-                    rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r)
+                    rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r, a.cpuset_factor)
                     if a.abort_n4_wall and rn4["wall_sec"] > a.abort_n4_wall:
                         # no quiet N leg can reach stop-at-eff from here:
                         # don't spend 9 minutes proving it — re-gate
@@ -475,14 +508,14 @@ def main() -> int:
                         )
                         continue
                     bw1 = round(membw_gbps(), 2)
-                    rn = run_submit(a.n, corpus, a.workdir, f"n{a.n}", r)
+                    rn = run_submit(a.n, corpus, a.workdir, f"n{a.n}", r, a.cpuset_factor)
                     bw2 = round(membw_gbps(), 2)
                     rn4["membw_gbps_around"] = [bw0, bw1]
                     rn["membw_gbps_around"] = [bw1, bw2]
                 else:
-                    rn = run_submit(a.n, corpus, a.workdir, f"n{a.n}", r)
+                    rn = run_submit(a.n, corpus, a.workdir, f"n{a.n}", r, a.cpuset_factor)
                     bw1 = round(membw_gbps(), 2)
-                    rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r)
+                    rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r, a.cpuset_factor)
                     bw2 = round(membw_gbps(), 2)
                     rn["membw_gbps_around"] = [bw0, bw1]
                     rn4["membw_gbps_around"] = [bw1, bw2]
@@ -528,9 +561,9 @@ def main() -> int:
         run_n, run_n4 = pick_best(runs_n), pick_best(runs_n4)
     else:
         gate()
-        run_n = best_of(a.n, corpus, a.workdir, f"n{a.n}", a.repeats)
+        run_n = best_of(a.n, corpus, a.workdir, f"n{a.n}", a.repeats, a.cpuset_factor)
         gate()
-        run_n4 = best_of(a.n4, corpus, a.workdir, f"n{a.n4}", a.repeats)
+        run_n4 = best_of(a.n4, corpus, a.workdir, f"n{a.n4}", a.repeats, a.cpuset_factor)
 
     eff = run_n4["docs_per_sec"] / ((a.n4 / a.n) * run_n["docs_per_sec"])
     result = {
