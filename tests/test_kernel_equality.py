@@ -105,3 +105,28 @@ def test_schema_stable(spark, corpus):
     assert [f.name for f in out.schema.fields] == ["doc_id", "spans"]
     el = out.schema["spans"].dataType.elementType
     assert [f.name for f in el.fields] == ["kind", "text", "media_ref", "order"]
+
+
+def test_word_cap_counts_match_str_split():
+    """Regression: the title rule's word/cap counting must be bit-identical
+    to the oracle's str.split() form. RE2's count_substring_regex re-anchors
+    ^ at every scan position ('AA' counted 2 capitalized words) and its
+    \\s is ASCII-only — both diverged from the oracle (hypothesis found
+    ['', '0 AA'] misclassified title vs paragraph)."""
+    import pyarrow as pa
+
+    from extraction.classify import _word_cap_counts
+
+    texts = [
+        "0 AA", "AA", "AAA BBB", "A A A", "", " ", None,
+        "\u00a0X Y",       # NBSP -- unicode whitespace, split by str.split()
+        "X\u2003Y",        # EM SPACE -- unicode whitespace
+        "É foo", "a.", "USA Today NOW", "Hello World", "  Lead Trail  ",
+        "tab\tSep", "nl\nSep", "Mixed\u3000Ideographic Space",
+    ]
+    caps, words = _word_cap_counts(pa.array(texts, type=pa.string()))
+    for i, t in enumerate(texts):
+        ws = (t or "").split()
+        exp_words = len(ws)
+        exp_caps = sum(1 for w in ws if "A" <= w[:1] <= "Z")
+        assert (caps[i], words[i]) == (exp_caps, exp_words), (t, caps[i], words[i])

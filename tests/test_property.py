@@ -30,6 +30,11 @@ TEXTS = st.one_of(
             "A " * 50,  # long, half-capitalized
             "ALL RIGHTS RESERVED footer",
             "Subscribe to our newsletter today",
+            # word/cap-count edges: consecutive capitals once double-counted
+            # by RE2 ^-re-anchoring; unicode whitespace vs str.split()
+            "0 AA",
+            "AA BB CC dd",
+            "X Y Z",
         ]
     ),
 )
