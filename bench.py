@@ -247,6 +247,25 @@ def main() -> int:
     except Exception:
         pass
 
+    # pinned-budget 1M-doc pair (bench/scaling.py --cpuset-factor, the
+    # fixed-CPU-budget analog of N vs 4N executors) — reported alongside
+    # when the protocol has produced it
+    protocol_1m = None
+    try:
+        with open(os.path.join(_REPO, "BENCH", "scaling_1m_pinned_r3.json")) as f:
+            pj = json.load(f)
+        protocol_1m = {
+            "docs": pj["n_run"]["docs"],
+            "n_cores": pj["n_run"]["cores"],
+            "n4_cores": pj["n4_run"]["cores"],
+            "n_docs_per_sec": pj["n_run"]["docs_per_sec"],
+            "n4_docs_per_sec": pj["n4_run"]["docs_per_sec"],
+            "efficiency": pj["efficiency"],
+            "source": "BENCH/scaling_1m_pinned_r3.json (taskset-pinned budgets)",
+        }
+    except Exception:
+        pass
+
     total = round(sum(q["median"] for q in qtimes.values()), 3)
     # per-query map (medians + all raw walls) to its own file — round 2's
     # in-line map overflowed the driver's tail capture and the whole
@@ -266,6 +285,15 @@ def main() -> int:
             f,
             indent=1,
         )
+    # the stdout line must survive the driver's 2000-char tail capture
+    # (round 2's full 55-entry per-query map overflowed it and the round's
+    # bench was recorded `parsed: null`), so the line carries only the
+    # flagship medians inline; the full map lives in queries_file
+    flagships = {
+        k: qtimes[k]["median"]
+        for k in ("extract_pipeline", "extract_kind_stats")
+        if k in qtimes
+    }
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -275,6 +303,7 @@ def main() -> int:
         "n_queries": len(qtimes),
         "sec_per_query": round(total / max(1, len(qtimes)), 3),
         "per_query_stat": f"median_of_{REPEATS}",
+        "queries": flagships,
         "queries_file": qfile,
         "sf": _sf_of(SF_DIR),
         "extract": ext_full,
@@ -282,7 +311,16 @@ def main() -> int:
         "scaling_protocol": protocol,
         "bench_wall_sec": round(time.monotonic() - t_all, 1),
     }
-    print(json.dumps(out))
+    if protocol_1m is not None:
+        out["scaling_protocol_1m_pinned"] = protocol_1m
+    line = json.dumps(out)
+    # belt-and-braces: degrade rather than overflow the 2000-char capture
+    for drop in ("scaling", "queries", "extract"):
+        if len(line) <= 1900:
+            break
+        out.pop(drop, None)
+        line = json.dumps(out)
+    print(line)
     return 0
 
 
