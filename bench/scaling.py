@@ -74,7 +74,7 @@ def gen_corpus(docs: int, heavy_spans: int, path: str) -> None:
 
 def run_submit(
     cores: int, corpus: str, workdir: str, tag: str, rep: int,
-    cpuset_factor: int = 0,
+    cpuset_factor: int = 0, timeout_sec: float = 3600,
 ) -> dict:
     """One spark-submit run at local[cores]; returns parsed metrics.
 
@@ -132,10 +132,27 @@ def run_submit(
         "--warmup-docs", "16000",
     ]
     t0 = time.monotonic()
-    proc = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600,
-        env={**os.environ, "PYTHONPATH": SRC},
+    # Popen + own process group so a timeout kill reaps the WHOLE tree
+    # (taskset -> spark-submit -> JVM -> pyspark.daemon -> workers); a
+    # plain subprocess.run timeout kills only the direct child and the
+    # orphaned JVM/workers keep burning CPU into the next gated window.
+    popen = subprocess.Popen(
+        cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env={**os.environ, "PYTHONPATH": SRC},
+        start_new_session=True,
     )
+    try:
+        stdout, stderr = popen.communicate(timeout=timeout_sec)
+    except subprocess.TimeoutExpired:
+        import signal
+
+        try:
+            os.killpg(popen.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        popen.wait()
+        raise
+    proc = subprocess.CompletedProcess(cmd, popen.returncode, stdout, stderr)
     wall_total = time.monotonic() - t0
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:])
@@ -451,7 +468,23 @@ def main() -> int:
             if streak < 2:  # two consecutive quiet probes, 45 s apart
                 time.sleep(45)
                 continue
-            c = run_submit(8, gcorpus, a.workdir, "canary", 0, a.cpuset_factor)
+            try:
+                # a crushed canary otherwise runs 10+ min (15x quiet wall
+                # measured); past ~4x threshold + startup it can only fail
+                c = run_submit(
+                    8, gcorpus, a.workdir, "canary", 0, a.cpuset_factor,
+                    timeout_sec=a.gate * 4 + 120,
+                )
+            except subprocess.TimeoutExpired:
+                waited = round(time.monotonic() - t_start, 1)
+                canary_log.append(
+                    {"canary_timeout": True, "waited_sec": waited, "attempt": attempt}
+                )
+                print("GATE canary timed out (crushed window)", flush=True)
+                attempt += 1
+                streak = 0
+                time.sleep(60)
+                continue
             shutil.rmtree(c["output"], ignore_errors=True)
             shutil.rmtree(c["lineage"], ignore_errors=True)
             waited = round(time.monotonic() - t_start, 1)
@@ -494,7 +527,15 @@ def main() -> int:
                     # brackets recorded with every pair; a noise-stretched
                     # N leg would inflate the ratio and is disclosed by
                     # its own wall)
-                    rn4 = run_submit(a.n4, corpus, a.workdir, f"n{a.n4}", r, a.cpuset_factor)
+                    # cap the n4 submit at abort threshold + startup
+                    # margin: a crushed leg is dead the moment it passes
+                    # the threshold (pair 0 of the first r3 grind burned
+                    # 703 s proving what 210 s already knew)
+                    n4_cap = (a.abort_n4_wall + 120) if a.abort_n4_wall else 3600
+                    rn4 = run_submit(
+                        a.n4, corpus, a.workdir, f"n{a.n4}", r,
+                        a.cpuset_factor, timeout_sec=n4_cap,
+                    )
                     if a.abort_n4_wall and rn4["wall_sec"] > a.abort_n4_wall:
                         # no quiet N leg can reach stop-at-eff from here:
                         # don't spend 9 minutes proving it — re-gate
