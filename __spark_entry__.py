@@ -1231,7 +1231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_simhash": q_text_simhash,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_lsh_verified": q_dedup_lsh_verified,
@@ -1239,18 +1238,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_degenerate": q_dedup_lsh_degenerate,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_tiered": q_dedup_tiered,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_cosine_p8": q_dedup_embedding_cosine_p8,
         "ann_bruteforce_top1": q_ann_bruteforce_top1,
         "ann_lsh_buckets": q_ann_lsh_buckets,
-        "ann_lsh_top1": q_ann_lsh_top1,
         "ann_multiprobe_top1": q_ann_multiprobe_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
-        "ann_ivf_probe2_top1": q_ann_ivf_probe2_top1,
         "ann_ivf_join_top1": q_ann_ivf_join_top1,
         "ann_recall_at_1": q_ann_recall_at_1,
-        "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        # tail: redundant variants of concepts whose representative row
+        # sits in the first 50 — if the driver's budget cuts the dict at
+        # 50 (as it did in round 2), these five are the casualties:
+        # minhash_sig is exercised inside minhash_lsh/lsh_verified/tiered,
+        # lsh_top1 is superseded by multiprobe (buckets row keeps the
+        # bucket-size evidence), probe2 by ivf_join, cosine planes=4 by
+        # planes=8, and multimodal_meta's projection by _features' full
+        # Arrow path
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "ann_lsh_top1": q_ann_lsh_top1,
+        "ann_ivf_probe2_top1": q_ann_ivf_probe2_top1,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
