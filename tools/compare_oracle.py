@@ -34,11 +34,23 @@ def main() -> int:
     import __spark_entry__ as entry
     from extraction.job import build_session
 
-    con = duckdb.connect()
-    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    def fresh_con():
+        c = duckdb.connect()
+        # the host shows intermittent allocation failures under invisible
+        # neighbor pressure (std::bad_alloc on KB-sized blocks with 100G
+        # "available"); a bounded limit + spill dir makes duckdb degrade
+        # to spilling instead of poisoning the connection, and fewer
+        # threads shrink the peak
+        c.execute("SET memory_limit='12GB'")
+        c.execute("SET threads TO 8")
+        c.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+        for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+
+    con = fresh_con()
 
     spark = build_session("local[8]", shuffle_partitions=16, app="oracle-compare")
     qs = entry.queries()
@@ -59,9 +71,18 @@ def main() -> int:
             print(f"ok    {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            try:
+                res = con.execute(oracles[name])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
+            except duckdb.OutOfMemoryException:
+                # transient host pressure can poison the long-lived
+                # connection; retry once on a fresh one
+                con.close()
+                con = fresh_con()
+                res = con.execute(oracles[name])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")

@@ -294,6 +294,37 @@ def main() -> int:
         },
     )
 
+    # --- write-time bucketing: co-located join, zero exchanges ---
+    from extraction.bucketing import colocated_join, write_bucketed
+
+    bkt_root = "/tmp/explain_bucketed"
+    write_bucketed(
+        d.select("doc_id", "lang", "n_chars"),
+        "xp_bkt_docs", "doc_id", 8, os.path.join(bkt_root, "d"),
+    )
+    write_bucketed(
+        e.select("vec_id", "label"),
+        "xp_bkt_embs", "vec_id", 8, os.path.join(bkt_root, "e"),
+    )
+    # broadcast off: the sf0.01 tables are tiny, but the shape under test
+    # is the 100-TB big-big join where broadcast is not an option
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bj = colocated_join(spark, "xp_bkt_docs", "xp_bkt_embs", "doc_id", "vec_id")
+    bsimple = bj._jdf.queryExecution().executedPlan().toString()
+    p = plan_of(bj)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    check(
+        "bucketed co-located join (bucketBy(8, key) both sides at write time)",
+        p,
+        {
+            "sort-merge join, broadcast disabled": "SortMergeJoin" in bsimple,
+            "ZERO exchanges — both scans carry the bucketed partitioning":
+                "Exchange" not in bsimple,
+            "bucketed scan selected": "SelectedBucketsCount" in p
+                or "Bucketed: true" in p,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
