@@ -1177,6 +1177,64 @@ def q_bucketed_join_stats(spark, sf_dir):
     )
 
 
+# --- PII scrubbing (training-corpus hygiene) ---
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII detection + redaction over the documents table. The corpus has
+    no natural PII, so each doc gets one deterministic synthetic PII span
+    (email / IPv4 / phone by doc_id mod 3 — the oracle injects the same)
+    before counting matches and measuring the redaction length delta.
+    Narrow JVM-regex projection end to end: the 100-TB scrub is a single
+    codegen'd pass, no Python, no shuffle beyond the final tiny agg."""
+    from extraction.textops import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit(" node 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            )
+        ),
+    )
+    c = pii_counts(inj)
+    r = d.select(
+        "lang",
+        c["n_emails"].alias("ne"),
+        c["n_ips"].alias("ni"),
+        c["n_phones"].alias("np"),
+        (F.length(inj) - F.length(redact_pii(inj))).alias("delta"),
+    )
+    return r.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ne").alias("emails"),
+        F.sum("ni").alias("ips"),
+        F.sum("np").alias("phones"),
+        F.sum("delta").alias("chars_redacted_delta"),
+    )
+
+
 # --- the extraction pipeline itself (pytest-gated; rows-only here) ---
 
 def q_extract_pipeline(spark, sf_dir):
@@ -1280,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_at_1": q_ann_recall_at_1,
         "multimodal_features": q_multimodal_features,
         "bucketed_join_stats": q_bucketed_join_stats,
+        "text_pii_redact": q_text_pii_redact,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

@@ -1081,3 +1081,35 @@ SELECT d.lang AS lang, e.label AS label,
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY 1, 2
 """
+
+ORACLES["text_pii_redact"] = r"""
+WITH inj AS (
+  SELECT lang,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN doc_id % 3 = 1 THEN ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+           ELSE ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         END AS t
+  FROM documents
+), scored AS (
+  SELECT lang,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+         len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS ni,
+         len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS np,
+         length(t) - length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')
+         ) AS delta
+  FROM inj
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ne) AS BIGINT) AS emails,
+       CAST(SUM(ni) AS BIGINT) AS ips,
+       CAST(SUM(np) AS BIGINT) AS phones,
+       CAST(SUM(delta) AS BIGINT) AS chars_redacted_delta
+FROM scored GROUP BY 1
+"""

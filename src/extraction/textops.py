@@ -189,3 +189,39 @@ def simhash(col: Column, bits: int = 32) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+# --- PII detection & redaction -------------------------------------------
+#
+# Training corpora must be scrubbed before use; at 100 TB the only viable
+# shape is a narrow JVM-side projection (regexp_count/regexp_replace in
+# whole-stage codegen — no Python, no shuffle, no second pass). Patterns
+# deliberately use only syntax with identical semantics in Java regex
+# (Spark) and RE2 (the DuckDB oracle): no anchors (RE2 re-anchoring
+# gotcha), no backrefs, no lookaround.
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-document match counts for each PII class."""
+    return {
+        "n_emails": F.regexp_count(col, F.lit(PII_EMAIL_RE)),
+        "n_ips": F.regexp_count(col, F.lit(PII_IPV4_RE)),
+        "n_phones": F.regexp_count(col, F.lit(PII_PHONE_RE)),
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace PII spans with typed placeholder tokens.
+
+    Email first: an email's local part can contain a phone-shaped digit
+    run, and redaction order is part of the operator contract (the
+    oracle applies the same chain in the same order).
+    """
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return out
