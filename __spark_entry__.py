@@ -1235,6 +1235,78 @@ def q_text_pii_redact(spark, sf_dir):
     )
 
 
+def q_text_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams (contamination / boilerplate
+    screening). Bigrams are built NARROW inside each doc's word array
+    (zip_with of the array against its own tail — no per-word explode
+    before the count), then one hash aggregation with map-side partial
+    combine carries only (ngram, partial_count) into the shuffle; the
+    global top-k is a 20-row sort. Deterministic tie-break (count desc,
+    ngram asc) so Spark and the oracle pick the same 20."""
+    from extraction.textops import words
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    w = words(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Within-document repetition signals (the Gopher-rule family):
+    words per doc, distinct words per doc, and the mode word's count
+    (dup-word fraction = 1 - distinct/total; mode fraction = mode/total
+    — reported as integer sums per lang so the oracle is bit-exact).
+    Everything is computed INSIDE each doc's word array — array_sort +
+    a run-length fold for the mode — so the scan stays narrow: no
+    per-word explode, no shuffle until the tiny per-lang agg. The
+    relational alternative (explode → groupBy(doc, word)) shuffles one
+    row per word — at 100 TB that's the corpus re-keyed twice for a
+    per-doc statistic."""
+    from extraction.textops import words
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    proj = d.select("lang", F.array_sort(words(F.col("text"))).alias("ws"))
+    mode_count = F.aggregate(
+        F.col("ws"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    per_doc = proj.select(
+        "lang",
+        F.size("ws").alias("nw"),
+        F.size(F.array_distinct("ws")).alias("nd"),
+        mode_count.alias("mc"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nw").alias("sum_words"),
+        F.sum("nd").alias("sum_distinct_words"),
+        F.sum("mc").alias("sum_mode_count"),
+    )
+
+
 # --- the extraction pipeline itself (pytest-gated; rows-only here) ---
 
 def q_extract_pipeline(spark, sf_dir):
@@ -1339,6 +1411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "bucketed_join_stats": q_bucketed_join_stats,
         "text_pii_redact": q_text_pii_redact,
+        "text_top_ngrams": q_text_top_ngrams,
+        "text_repetition": q_text_repetition,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

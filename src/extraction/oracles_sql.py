@@ -1113,3 +1113,38 @@ SELECT lang,
        CAST(SUM(delta) AS BIGINT) AS chars_redacted_delta
 FROM scored GROUP BY 1
 """
+
+ORACLES["text_top_ngrams"] = r"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), b AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+  FROM w
+)
+SELECT ngram, COUNT(*) AS n
+FROM b GROUP BY 1
+ORDER BY n DESC, ngram ASC LIMIT 20
+"""
+
+ORACLES["text_repetition"] = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(ws) AS word FROM w
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM ex GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, SUM(c) AS nw, COUNT(*) AS nd, MAX(c) AS mc
+  FROM wc GROUP BY 1
+)
+SELECT w.lang AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(COALESCE(per.nw, 0)) AS BIGINT) AS sum_words,
+       CAST(SUM(COALESCE(per.nd, 0)) AS BIGINT) AS sum_distinct_words,
+       CAST(SUM(COALESCE(per.mc, 0)) AS BIGINT) AS sum_mode_count
+FROM w LEFT JOIN per USING (doc_id)
+GROUP BY 1
+"""
