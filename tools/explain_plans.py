@@ -294,6 +294,36 @@ def main() -> int:
         },
     )
 
+    # --- text ops: the shuffle-shape claims in SURVEY's inventory ---
+    import __spark_entry__ as entry
+
+    ng = entry.q_text_top_ngrams(spark, SF_DIR)
+    p = plan_of(ng)
+    ngsimple = ng._jdf.queryExecution().executedPlan().toString()
+    check(
+        "text top_ngrams (bigrams in-array -> map-side combined count -> top-20)",
+        p,
+        {
+            "map-side partial agg before the shuffle": "partial_count" in p,
+            "single ngram exchange": ngsimple.count("Exchange hashpartitioning") == 1,
+            "top-k without a global sort (TakeOrderedAndProject)":
+                "TakeOrderedAndProject" in p and "Sort " not in ngsimple,
+        },
+    )
+
+    rp = entry.q_text_repetition(spark, SF_DIR)
+    p = plan_of(rp)
+    rpsimple = rp._jdf.queryExecution().executedPlan().toString()
+    check(
+        "text repetition (per-doc stats inside the word array)",
+        p,
+        {
+            "no per-word explode (no Generate)": "Generate" not in rpsimple,
+            "only the per-lang agg shuffles":
+                rpsimple.count("Exchange hashpartitioning") == 1,
+        },
+    )
+
     # --- write-time bucketing: co-located join, zero exchanges ---
     from extraction.bucketing import colocated_join, write_bucketed
 
