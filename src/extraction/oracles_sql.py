@@ -1148,3 +1148,13 @@ SELECT w.lang AS lang,
 FROM w LEFT JOIN per USING (doc_id)
 GROUP BY 1
 """
+
+ORACLES["asof_last_error"] = """
+WITH a AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT user_id, ts, event_id AS last_error_id FROM events WHERE event_type = 'error'
+)
+SELECT a.event_id AS event_id, a.user_id AS user_id, b.last_error_id AS last_error_id
+FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
