@@ -313,6 +313,21 @@ def main() -> int:
     }
     if protocol_1m is not None:
         out["scaling_protocol_1m_pinned"] = protocol_1m
+    inv4m = os.path.join(_REPO, "BENCH", "scaling_4m_invariance.json")
+    if os.path.exists(inv4m):
+        try:
+            legs = json.load(open(inv4m))["bracket_legs_in_order"]
+            mid = next(l for l in legs if l["docs"] == 4000000)
+            ends = [l["docs_per_sec"] for l in legs if l["docs"] != 4000000]
+            out["invariance_4m"] = {
+                "docs_per_sec": mid["docs_per_sec"],
+                "vs_1m_bracket_mean": round(
+                    mid["docs_per_sec"] / (sum(ends) / len(ends)), 3
+                ),
+                "source": "BENCH/scaling_4m_invariance.json (1M/4M/1M bracket)",
+            }
+        except (KeyError, StopIteration, ValueError):
+            pass
     line = json.dumps(out)
     # belt-and-braces: degrade rather than overflow the 2000-char capture
     for drop in ("scaling", "queries", "extract"):
