@@ -324,6 +324,24 @@ def main() -> int:
         },
     )
 
+    # --- as-of join: union-tag + window carry-forward, ONE shuffle ---
+    aj = entry.q_asof_last_error(spark, SF_DIR)
+    p = plan_of(aj)
+    ajsimple = aj._jdf.queryExecution().executedPlan().toString()
+    check(
+        "asof join (union-tag + per-key window carry-forward)",
+        p,
+        {
+            "no join operator at all (no pair expansion)":
+                "Join" not in ajsimple,
+            "single key exchange feeding the window":
+                ajsimple.count("Exchange hashpartitioning") == 1
+                and "Window" in ajsimple,
+            "no cartesian / nested-loop": "Cartesian" not in ajsimple
+                and "NestedLoop" not in ajsimple,
+        },
+    )
+
     # --- write-time bucketing: co-located join, zero exchanges ---
     from extraction.bucketing import colocated_join, write_bucketed
 
