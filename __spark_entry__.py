@@ -1329,6 +1329,21 @@ def q_asof_last_error(spark, sf_dir):
     return r.select("event_id", "user_id", "last_error_id")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling seat: 1 media row → ceil(n_frames/4) frame rows
+    through mapInPandas (the row-EXPANDING Arrow shape; decode→features
+    is 1→1). Frame count + per-frame hashes are stubbed deterministically
+    from the payload fold and reproduced bit-exactly by the DuckDB
+    oracle's hugeint arithmetic, so the whole expansion plumbing —
+    schema, batch shape, per-row loop — is value-checked."""
+    _ensure_pkg(spark)
+    from extraction.multimodal import sample_frames, synth_media_table
+
+    d = _t(spark, sf_dir, "documents")
+    media = synth_media_table(d, "doc_id", "text")
+    return sample_frames(media, every_n=4)
+
+
 # --- the extraction pipeline itself (pytest-gated; rows-only here) ---
 
 def q_extract_pipeline(spark, sf_dir):
@@ -1443,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": q_text_top_ngrams,
         "text_repetition": q_text_repetition,
         "asof_last_error": q_asof_last_error,
+        "multimodal_frames": q_multimodal_frames,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

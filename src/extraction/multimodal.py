@@ -46,6 +46,23 @@ MEDIA_FEATURES_SCHEMA = StructType(
 )
 
 
+def _fold(payload: bytes) -> int:
+    """Deterministic 64-bit fold of the payload header bytes.
+
+    FNV-1a-STYLE with a stub seed. NOTE: the seed is NOT the real FNV-1a
+    64 offset basis (14695981039346656037 — a digit was dropped); it is
+    kept as-is because the DuckDB oracles (oracles_sql.py
+    "multimodal_features" / "multimodal_frames") mirror this exact
+    constant bit-for-bit. Returns 0 for an empty payload.
+    """
+    if not payload:
+        return 0
+    h = 1469598103934665603  # deterministic stub seed (not FNV offset basis)
+    for b in payload[:4096]:  # bounded work per item, like a header parse
+        h = ((h ^ b) * 1099511628211) & ((1 << 64) - 1)
+    return h
+
+
 def _decode_stub(payload: bytes, mime: str) -> tuple[int | None, int | None, int]:
     """STUB for the codec step (no image/audio libs in this container).
 
@@ -55,15 +72,7 @@ def _decode_stub(payload: bytes, mime: str) -> tuple[int | None, int | None, int
     """
     if not payload:
         return None, None, 0
-    # FNV-1a-STYLE fold with a deterministic stub seed. NOTE: the seed is
-    # NOT the real FNV-1a 64 offset basis (14695981039346656037 — a digit
-    # was dropped); it is kept as-is because the DuckDB oracle
-    # (oracles_sql.py "multimodal_features") mirrors this exact constant
-    # bit-for-bit. Anyone swapping in a real codec replaces this whole
-    # function anyway.
-    h = 1469598103934665603  # deterministic stub seed (not FNV offset basis)
-    for b in payload[:4096]:  # bounded work per item, like a header parse
-        h = ((h ^ b) * 1099511628211) & ((1 << 64) - 1)
+    h = _fold(payload)
     if mime.startswith("image/"):
         return 16 + h % 4096, 16 + (h >> 12) % 4096, h % (1 << 62)
     return None, None, h % (1 << 62)
@@ -111,4 +120,62 @@ def synth_media_table(df: DataFrame, ref_col: str, text_col: str) -> DataFrame:
         ref.alias("media_ref"),
         F.when(bucket == 0, F.lit("image/jpeg")).otherwise(F.lit("audio/wav")).alias("mime"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("mime", StringType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_hash", LongType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: one media row expands to ceil(n_frames/every_n)
+    frame rows through mapInPandas — the 1→N Arrow plumbing shape
+    (decode→features above is 1→1). The frame DECODE is stubbed like the
+    codec: frame count and per-frame hashes derive deterministically
+    from the payload fold (a real sampler replaces the two marked lines
+    with PyAV frame iteration; batch shape, schema and partitioning are
+    unchanged). Empty payloads produce no frames.
+
+    At 100 TB the expansion factor (frames per clip / every_n) is the
+    operative sizing number: output batches are capped by the same
+    arrow.maxRecordsPerBatch discipline as the fat-row docs path, and
+    the expansion happens INSIDE the narrow map — no join, no shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, mimes, nfs, idxs, hashes = [], [], [], [], []
+            for ref, mime, payload in zip(
+                pdf["media_ref"], pdf["mime"], pdf["payload"]
+            ):
+                h = _fold(payload if payload is not None else b"")
+                if h == 0:
+                    continue
+                n_frames = 8 + h % 24  # STUB: real sampler reads container metadata
+                for i in range(0, n_frames, every_n):
+                    refs.append(ref)
+                    mimes.append(mime)
+                    nfs.append(n_frames)
+                    idxs.append(i)
+                    # STUB: real sampler hashes decoded frame bytes
+                    hashes.append(((h ^ i) * 1099511628211) % (1 << 64) % (1 << 62))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "mime": mimes,
+                    "n_frames": pd.array(nfs, dtype="int32"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_hash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_ref", "mime", "payload").mapInPandas(
+        run, schema=FRAME_SAMPLE_SCHEMA
     )

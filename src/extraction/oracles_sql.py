@@ -1158,3 +1158,35 @@ WITH a AS (
 SELECT a.event_id AS event_id, a.user_id AS user_id, b.last_error_id AS last_error_id
 FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
 """
+
+ORACLES["multimodal_frames"] = """
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+              THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
+         text AS t
+  FROM documents
+), fnv AS (
+  SELECT media_ref, mime,
+         CASE WHEN length(t) = 0 THEN CAST(0 AS HUGEINT) ELSE
+           list_reduce(
+             list_prepend(CAST(1469598103934665603 AS HUGEINT),
+               list_transform(range(1, least(length(t), 4096) + 1),
+                              i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+         END AS h
+  FROM media
+), fr AS (
+  SELECT media_ref, mime, CAST(8 + h % 24 AS INT) AS n_frames, h
+  FROM fnv WHERE h <> 0
+), sel AS (
+  SELECT media_ref, mime, n_frames, h,
+         unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS fi
+  FROM fr
+)
+SELECT media_ref, mime, n_frames, CAST(fi AS INT) AS frame_idx,
+       CAST(((xor(h, CAST(fi AS HUGEINT)) * 1099511628211)
+             % CAST('18446744073709551616' AS HUGEINT))
+             % CAST('4611686018427387904' AS HUGEINT) AS BIGINT) AS frame_hash
+FROM sel
+"""
