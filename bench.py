@@ -263,6 +263,8 @@ def main() -> int:
             "efficiency": pj["efficiency"],
             "source": "BENCH/scaling_1m_pinned_r3.json (taskset-pinned budgets)",
         }
+        with open(os.path.join(_REPO, "BENCH", "scaling_1m_pinned_r3b.json")) as f:
+            protocol_1m["efficiency_replicate"] = json.load(f)["efficiency"]
     except Exception:
         pass
 
