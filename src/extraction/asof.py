@@ -15,9 +15,11 @@ Spark has no native ASOF JOIN. The two candidate plans at 100 TB:
 
 Tie contract: a build row at exactly probe.ts IS visible (inclusive
 ``<=``) because builds sort before probes at equal ts (tag 0 < tag 1).
-Ties between two build rows at the same (key, ts) are broken by the
-carried struct's field order (last wins after the sort) — callers that
-need a specific winner should pre-dedupe, as any engine's ASOF must.
+Ties between two build rows at the same (key, ts) are DETERMINISTIC:
+the payload struct participates in the window ordering, so the
+lexicographically largest (value_cols, in declaration order) wins —
+relying on sort stability instead would silently change winners with
+the partitioning.
 
 Reference analog: the evaluation pass pairing each produced page with
 the latest matching ground-truth artifact by filename
@@ -72,7 +74,14 @@ def asof_join(
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("__asof_tag").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("__asof_tag").asc(),
+            # deterministic build/build tie-break at equal (key, ts):
+            # largest payload wins (probes are alone in their tag class,
+            # their null payload never competes)
+            F.col("__asof_payload").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = a.unionByName(b).withColumn(

@@ -84,3 +84,64 @@ def test_kernel_equals_oracle_on_random_docs(spark, docs):
         for doc_id, spans in rows
     }
     assert got == want
+
+
+# --- asof_join vs brute-force reference on random streams ----------------
+
+ASOF_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key (few keys -> dense per-key streams)
+        st.integers(min_value=0, max_value=50),     # ts (small range -> many exact ties)
+        st.booleans(),                              # True = probe, False = build
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ASOF_EVENTS)
+def test_asof_join_equals_bruteforce(spark, events):
+    """For each probe, the carried build value must equal the max-
+    (ts, id) build row with ts <= probe.ts on the same key — including
+    probe/build ties at the same ts (inclusive) and build/build ties
+    (larger id wins: the union sort is (ts, tag, payload) and the
+    payload struct's leading field is the id)."""
+    import datetime as dt
+
+    from extraction.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    probes, builds = [], []
+    for i, (k, t, is_probe) in enumerate(events):
+        if is_probe:
+            probes.append((i, k, base + dt.timedelta(seconds=t), t))
+        else:
+            builds.append((i, k, base + dt.timedelta(seconds=t), t))
+    if not probes:
+        probes = [(len(events), 0, base, 0)]
+
+    probe_df = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts, _ in probes],
+        "probe_id long, k long, ts timestamp",
+    )
+    build_df = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts, _ in builds],
+        "b_id long, k long, ts timestamp",
+    ) if builds else spark.createDataFrame(
+        [], "b_id long, k long, ts timestamp"
+    )
+
+    got = {
+        r["probe_id"]: r["b_id"]
+        for r in asof_join(probe_df, build_df, ["k"], "ts", ["b_id"]).collect()
+    }
+
+    for pid, pk, _, pt in probes:
+        cands = [(bt, bi) for bi, bk, _, bt in builds if bk == pk and bt <= pt]
+        want = max(cands)[1] if cands else None
+        assert got[pid] == want, (pid, pk, pt, sorted(cands), got[pid])
