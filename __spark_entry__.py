@@ -1344,6 +1344,19 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(media, every_n=4)
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize seat (brief's decode/feature-extract/RESIZE/frame-sample
+    list): image rows only — the selective 1→{0,1} mapInPandas shape.
+    Stubbed pixels; the hugeint oracle mirrors source dims and the
+    dim-mixed resized hash bit-exactly."""
+    _ensure_pkg(spark)
+    from extraction.multimodal import resize_media, synth_media_table
+
+    d = _t(spark, sf_dir, "documents")
+    media = synth_media_table(d, "doc_id", "text")
+    return resize_media(media, dst_w=64, dst_h=64)
+
+
 # --- the extraction pipeline itself (pytest-gated; rows-only here) ---
 
 def q_extract_pipeline(spark, sf_dir):
@@ -1459,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "asof_last_error": q_asof_last_error,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

@@ -179,3 +179,61 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     return media.select("media_ref", "mime", "payload").mapInPandas(
         run, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("src_width", IntegerType(), False),
+        StructField("src_height", IntegerType(), False),
+        StructField("dst_width", IntegerType(), False),
+        StructField("dst_height", IntegerType(), False),
+        StructField("resized_hash", LongType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, dst_w: int = 64, dst_h: int = 64) -> DataFrame:
+    """Resize pass: image rows only (1→{0,1} row shape — non-images and
+    empty payloads are dropped inside the map, the selective variant of
+    the decode path). The pixel work is stubbed like the codec: source
+    dims come from the payload fold exactly as _decode_stub derives
+    them, and the "resized" hash mixes the fold with the target dims —
+    a real implementation replaces the marked line with PIL
+    Image.resize + rehash; schema, batch shape and the narrow no-shuffle
+    plan are unchanged.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, sws, shs, hashes = [], [], [], []
+            for ref, mime, payload in zip(
+                pdf["media_ref"], pdf["mime"], pdf["payload"]
+            ):
+                if not mime.startswith("image/"):
+                    continue
+                h = _fold(payload if payload is not None else b"")
+                if h == 0:
+                    continue
+                sws.append(16 + h % 4096)
+                shs.append(16 + (h >> 12) % 4096)
+                refs.append(ref)
+                # STUB: real resize decodes, scales, re-hashes the pixels
+                hashes.append(
+                    ((h ^ (dst_w * 4096 + dst_h)) * 1099511628211)
+                    % (1 << 64) % (1 << 62)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "src_width": pd.array(sws, dtype="int32"),
+                    "src_height": pd.array(shs, dtype="int32"),
+                    "dst_width": pd.array([dst_w] * len(refs), dtype="int32"),
+                    "dst_height": pd.array([dst_h] * len(refs), dtype="int32"),
+                    "resized_hash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_ref", "mime", "payload").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )

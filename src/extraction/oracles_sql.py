@@ -1190,3 +1190,33 @@ SELECT media_ref, mime, n_frames, CAST(fi AS INT) AS frame_idx,
              % CAST('4611686018427387904' AS HUGEINT) AS BIGINT) AS frame_hash
 FROM sel
 """
+
+ORACLES["multimodal_resize"] = """
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+              THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
+         text AS t
+  FROM documents
+), fnv AS (
+  SELECT media_ref, mime,
+         CASE WHEN length(t) = 0 THEN CAST(0 AS HUGEINT) ELSE
+           list_reduce(
+             list_prepend(CAST(1469598103934665603 AS HUGEINT),
+               list_transform(range(1, least(length(t), 4096) + 1),
+                              i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+         END AS h
+  FROM media
+)
+SELECT media_ref,
+       CAST(16 + h % 4096 AS INT) AS src_width,
+       CAST(16 + (h // 4096) % 4096 AS INT) AS src_height,
+       CAST(64 AS INT) AS dst_width,
+       CAST(64 AS INT) AS dst_height,
+       CAST(((xor(h, CAST(64 * 4096 + 64 AS HUGEINT)) * 1099511628211)
+             % CAST('18446744073709551616' AS HUGEINT))
+             % CAST('4611686018427387904' AS HUGEINT) AS BIGINT) AS resized_hash
+FROM fnv
+WHERE mime LIKE 'image/%' AND h <> 0
+"""
