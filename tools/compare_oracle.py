@@ -26,8 +26,14 @@ def norm_cell(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -56,6 +62,7 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    ok_rows: dict[str, int] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -69,6 +76,7 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows)")
+            ok_rows[name] = len(srows)
             continue
         try:
             try:
@@ -111,8 +119,28 @@ def main() -> int:
             print(f"      duck:  {dset[bad]}")
             continue
         print(f"OK    {name}: {len(sset)} rows match")
+        ok_rows[name] = len(sset)
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "note": "LOCALLY-RUN full driver-contract comparison "
+                            "(the driver's own CORRECTNESS file caps at 50 "
+                            "rows); reproduce with: python "
+                            f"tools/compare_oracle.py {sf_dir} --json <path>",
+                    "sf_dir": sf_dir,
+                    "n_queries": len(ok_rows) + len(failures),
+                    "all_pass": not failures,
+                    "failures": failures,
+                    "rows_matched": ok_rows,
+                },
+                f,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
