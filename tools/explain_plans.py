@@ -324,6 +324,23 @@ def main() -> int:
         },
     )
 
+    # --- multimodal maps: narrow Arrow plumbing, zero shuffles ---
+    for qname, fn in (
+        ("frames (1→N expansion)", entry.q_multimodal_frames),
+        ("resize (selective 1→{0,1})", entry.q_multimodal_resize),
+    ):
+        mm = fn(spark, SF_DIR)
+        mmsimple = mm._jdf.queryExecution().executedPlan().toString()
+        check(
+            f"multimodal {qname}",
+            plan_of(mm),
+            {
+                "Arrow map present": "MapInPandas" in mmsimple,
+                "ZERO exchanges (row-shape change inside the narrow map)":
+                    "Exchange" not in mmsimple,
+            },
+        )
+
     # --- as-of join: union-tag + window carry-forward, ONE shuffle ---
     aj = entry.q_asof_last_error(spark, SF_DIR)
     p = plan_of(aj)
