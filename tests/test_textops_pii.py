@@ -43,3 +43,54 @@ def test_pii_counts_and_redaction(spark):
     # consumes the whole thing as one email first
     assert (got["f"]["e"], got["f"]["p"]) == (1, 1)
     assert got["f"]["r"] == "call <EMAIL> ok"
+
+
+# --- property: Spark regex counts/redaction match Python re ---------------
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from extraction.textops import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+TOKENS = st.sampled_from(
+    [
+        "hello", "a.b", "x@", "@y", "1.2.3", "999", "call",
+        "user7@example.com", "a.b-c+d@ex-ample.co.uk",
+        "10.0.0.1", "255.255.255.255", "1.2.3.4.5",
+        "555-123-4567", "12-345-6789", "555-12-34567",
+    ]
+)
+TEXTS = st.lists(TOKENS, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_pii_matches_python_re(spark, texts):
+    """The restricted Java∩RE2 dialect must also agree with Python re:
+    same match counts per class and same redaction output."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    c = pii_counts(F.col("t"))
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            c["n_emails"].alias("e"),
+            c["n_ips"].alias("ip"),
+            c["n_phones"].alias("p"),
+            redact_pii(F.col("t")).alias("r"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i]["e"] == len(re.findall(PII_EMAIL_RE, t)), (t, "email")
+        assert got[i]["ip"] == len(re.findall(PII_IPV4_RE, t)), (t, "ip")
+        assert got[i]["p"] == len(re.findall(PII_PHONE_RE, t)), (t, "phone")
+        want = re.sub(PII_EMAIL_RE, "<EMAIL>", t)
+        want = re.sub(PII_IPV4_RE, "<IP>", want)
+        want = re.sub(PII_PHONE_RE, "<PHONE>", want)
+        assert got[i]["r"] == want, t
