@@ -377,7 +377,9 @@ evidence, BENCH/scaling_wide.json when present).
 **Scaling efficiency = {dps_n4} / (4 x {dps_n}) = {eff}**  (target >= 0.8: {verdict})
 
 The measured job is the COMPLETE production path: parquet scan ->
-size-bucketed salted repartition (pipeline.repartition_salted) ->
+skew-aware repartition (pipeline.repartition_packed: uniform hash in
+the many-heavy-docs CLT regime, exact murmur3-inverse LPT packing when
+enormous docs ~ P; BENCH/SKEW.md) ->
 vectorized Arrow kernel (segment.extract_batches) -> parquet sink
 partitioned by lineage bucket -> lineage stats + commit.
 
@@ -392,10 +394,11 @@ Correctness of both runs (parallelism must not change results):
 Skew profile (lineage table, 64 hash buckets of the 4N run):
 docs/bucket min/median/max = {min_docs:.0f}/{med_docs:.0f}/{max_docs:.0f};
 spans/bucket min/median/max = {min_spans:.0f}/{med_spans:.0f}/{max_spans:.0f}.
-Media-heavy docs (5% of corpus, ~{heavy} spans each) are salted into a
-dedicated partition budget (pipeline.repartition_salted) so span skew
-never concentrates in one task; the kernel additionally self-splits any
-batch past SPAN_BUDGET spans (segment._split_by_budget).
+Media-heavy docs (5% of corpus, ~{heavy} spans each) are balanced by
+the skew-aware repartition (pipeline.repartition_packed; deterministic
+mass audit in BENCH/skew_balance.json) so span skew never concentrates
+in one task; the kernel additionally self-splits any batch past
+SPAN_BUDGET spans (segment._split_by_budget).
 
 Caveats recorded per BASELINE.md: local[{n}] -> local[{n4}] on one box
 measures parallelism scaling, not network-attached cluster scaling; the

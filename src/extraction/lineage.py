@@ -27,7 +27,12 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import HEAVY_SPAN_THRESHOLD, run_extraction, with_partition_id
+from .pipeline import (
+    HEAVY_SPAN_THRESHOLD,
+    partition_index_salts,
+    run_extraction,
+    with_partition_id,
+)
 from .schema import LINEAGE_SCHEMA
 
 
@@ -74,7 +79,7 @@ def run_with_lineage(
         t0 = time.monotonic()
         chunk = docs_b.filter(F.col("partition_id").isin(todo))
         # ONE input pass yields both the per-bucket lineage input stats
-        # and the light/heavy span masses that budget the salted
+        # and the heavy-tier row count that gates the skew-aware
         # repartition — the skew measuring scan comes for free
         nspans = F.size("spans")
         in_stats = (
@@ -85,17 +90,16 @@ def run_with_lineage(
                 F.count("*").alias("input_rows"),
                 F.sum(nspans).alias("spans_in"),
                 F.sum(
-                    F.when(nspans > HEAVY_SPAN_THRESHOLD, nspans).otherwise(0)
-                ).alias("heavy_mass"),
+                    F.when(nspans > HEAVY_SPAN_THRESHOLD, 1).otherwise(0)
+                ).alias("heavy_docs"),
             )
             .collect()
         )
-        spans_total = sum(r.spans_in or 0 for r in in_stats)
-        heavy_mass = sum(r.heavy_mass or 0 for r in in_stats)
+        heavy_docs = sum(r.heavy_docs or 0 for r in in_stats)
         extracted = run_extraction(
             chunk.select("doc_id", "spans"),
             num_partitions=num_partitions,
-            tier_masses=(spans_total - heavy_mass, heavy_mass),
+            heavy_docs_hint=heavy_docs,
         )
         # cluster the output on the bucket key before the hive-partitioned
         # write: without this every kernel task writes a file into every
@@ -108,10 +112,25 @@ def run_with_lineage(
         # n_spans is materialized as a flat column so the post-commit
         # stats pass scans two int columns instead of re-decoding the
         # nested spans arrays (measured 14 s -> ~1 s on the bench corpus)
+        # repartition(k, partition_id) with k distinct bucket values
+        # hash-COLLIDES (some tasks write 2-3 buckets, others idle —
+        # the same defect tools/skew_balance.py measured on the kernel
+        # path), so each bucket is routed to its exact write task via
+        # the murmur3-inverse salt table
+        wsalts = partition_index_salts(spark, max(1, len(todo)))
+        bucket_salt = F.create_map(
+            *[
+                x
+                for i, b in enumerate(todo)
+                for x in (F.lit(b), F.lit(int(wsalts[i])))
+            ]
+        )
         out = (
             with_partition_id(extracted, num_buckets)
             .withColumn("n_spans", F.size("spans"))
-            .repartition(max(1, len(todo)), F.col("partition_id"))
+            .withColumn("__wsalt", bucket_salt[F.col("partition_id")])
+            .repartition(max(1, len(todo)), F.col("__wsalt"))
+            .drop("__wsalt")
         )
         # data first, lineage second: a crash between the two re-executes
         # the bucket (dynamic overwrite of the same subdirs — idempotent)

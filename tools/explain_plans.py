@@ -76,14 +76,35 @@ def main() -> int:
         },
     )
 
-    salted = run_extraction(docs, num_partitions=8)
+    balanced = run_extraction(docs, num_partitions=8)
     # formatted output lists every operator twice (tree + detail section);
     # count exchanges on the simple plan string instead
-    simple = salted._jdf.queryExecution().executedPlan().toString()
+    simple = balanced._jdf.queryExecution().executedPlan().toString()
     check(
-        "extract salted (read -> skew repartition -> mapInArrow)",
-        plan_of(salted),
-        {"exactly one exchange": simple.count("Exchange") == 1},
+        "extract skew-aware, uniform branch (read -> repartition -> mapInArrow)",
+        plan_of(balanced),
+        {
+            "exactly one exchange": simple.count("Exchange") == 1,
+            "no placement join (CLT fallback)": "BroadcastHashJoin" not in simple,
+        },
+    )
+
+    # packed branch: enormous docs ~ P (BENCH/SKEW.md) — exact LPT
+    # placement adds ONE broadcast (the tiny doc_id -> salt map) and
+    # still exactly one shuffle
+    from extraction.corpus import corpus_df
+
+    lumpy = corpus_df(spark, 400, heavy_spans=20000, slices=2)
+    packed = run_extraction(lumpy, num_partitions=8)
+    psimple = packed._jdf.queryExecution().executedPlan().toString()
+    shuffles = psimple.count("Exchange") - psimple.count("BroadcastExchange")
+    check(
+        "extract skew-aware, packed branch (broadcast placement + one shuffle)",
+        plan_of(packed),
+        {
+            "exactly one shuffle exchange": shuffles == 1,
+            "broadcast placement join": "BroadcastHashJoin" in psimple,
+        },
     )
 
     # --- dedup / ANN flagship plans over the test tables ---
