@@ -252,8 +252,21 @@ def main() -> int:
     # when the protocol has produced it
     protocol_1m = None
     try:
-        with open(os.path.join(_REPO, "BENCH", "scaling_1m_pinned_r3.json")) as f:
-            pj = json.load(f)
+        # prefer the pair measured on the shipped (packed-partitioner)
+        # code path; the pre-fix r3 pairs stay as replicates
+        candidates = (
+            "scaling_1m_pinned_packedfix.json",
+            "scaling_1m_pinned_r3.json",
+        )
+        src, pj = None, None
+        for name in candidates:
+            try:
+                with open(os.path.join(_REPO, "BENCH", name)) as f:
+                    pj = json.load(f)
+                src = name
+                break
+            except OSError:
+                continue
         protocol_1m = {
             "docs": pj["n_run"]["docs"],
             "n_cores": pj["n_run"]["cores"],
@@ -261,10 +274,19 @@ def main() -> int:
             "n_docs_per_sec": pj["n_run"]["docs_per_sec"],
             "n4_docs_per_sec": pj["n4_run"]["docs_per_sec"],
             "efficiency": pj["efficiency"],
-            "source": "BENCH/scaling_1m_pinned_r3.json (taskset-pinned budgets)",
+            "source": f"BENCH/{src} (taskset-pinned budgets)",
         }
-        with open(os.path.join(_REPO, "BENCH", "scaling_1m_pinned_r3b.json")) as f:
-            protocol_1m["efficiency_replicate"] = json.load(f)["efficiency"]
+        reps = []
+        for name in ("scaling_1m_pinned_r3.json", "scaling_1m_pinned_r3b.json"):
+            if name == src:
+                continue
+            try:
+                with open(os.path.join(_REPO, "BENCH", name)) as f:
+                    reps.append(json.load(f)["efficiency"])
+            except Exception:
+                pass
+        if reps:
+            protocol_1m["efficiency_replicates"] = reps
     except Exception:
         pass
 
