@@ -127,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     a = p.parse_args(argv)
 
+    from extraction.catalog import current_snapshot_id, read_back, read_docs
     from extraction.corpus import corpus_df
     from extraction.lineage import run_with_lineage
     from extraction.schema import DOCS_SCHEMA
@@ -135,13 +136,19 @@ def main(argv: list[str] | None = None) -> int:
         a.master, a.shuffle_partitions, max_partition_bytes=a.max_partition_bytes
     )
     try:
+        snapshot_id = 0
         if a.gen:
             docs = corpus_df(
                 spark, a.gen, heavy_spans=a.heavy_spans,
                 slices=max(32, (a.partitions or 32)),
             )
         else:
-            docs = spark.read.schema(DOCS_SCHEMA).parquet(a.input)
+            # --input/--output/--lineage accept either a parquet path or
+            # an Iceberg table ref (table:cat.db.name) — catalog.py
+            # dispatches; a table input stamps its current snapshot id
+            # into every lineage row
+            docs = read_docs(spark, a.input, DOCS_SCHEMA)
+            snapshot_id = current_snapshot_id(spark, a.input)
         if a.warmup_docs:
             from extraction.pipeline import run_extraction
 
@@ -162,10 +169,11 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=a.buckets,
             buckets_per_commit=a.buckets_per_commit,
             num_partitions=a.partitions,
+            snapshot_id=snapshot_id,
             fail_after_commits=a.fail_after,
         )
         wall = time.monotonic() - t0
-        n = spark.read.parquet(a.output).count()
+        n = read_back(spark, a.output).count()
         print(f"EXTRACTION_DONE docs={n} wall_sec={wall:.2f} docs_per_sec={n / wall:.1f}")
         return 0
     finally:

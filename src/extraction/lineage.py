@@ -8,12 +8,14 @@ buckets) writes its output plus one lineage row per bucket; a restarted
 run anti-joins the lineage table and processes only uncommitted buckets
 (SURVEY.md §4 "resume" row, FIXTURES.md §3 schema).
 
-Sink: Iceberg ``writeTo`` when a catalog is configured (production —
-atomic snapshot per commit); hive-style parquet subdirectories otherwise
-(this sandbox has no Iceberg jars). Both are append-only and idempotent
-at bucket granularity: output is partitioned by bucket, so a re-executed
-uncommitted bucket overwrites only its own subdirectory (dynamic
-partition overwrite), never touching committed data.
+Sinks dispatch through ``catalog.py``: an output/lineage ref of the form
+``table:cat.db.name`` commits via Iceberg ``writeTo`` (overwritePartitions
+for bucket groups — one atomic snapshot per commit — and append for
+lineage rows); any other ref is a hive-style parquet path (this sandbox
+has no Iceberg jars, so that branch is what the tests drive). Both are
+append-only and idempotent at bucket granularity: output is partitioned
+by bucket, so a re-executed uncommitted bucket overwrites only its own
+buckets (dynamic overwrite), never touching committed data.
 
 At 10^12-doc scale the docs table is partitioned/bucketed by the same
 hash, so each bucket-group filter prunes to its own files instead of
@@ -27,6 +29,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .catalog import append_rows, overwrite_buckets, read_back
 from .pipeline import (
     HEAVY_SPAN_THRESHOLD,
     partition_index_salts,
@@ -39,8 +42,7 @@ from .schema import LINEAGE_SCHEMA
 def committed_buckets(spark: SparkSession, lineage_path: str, run_id: str) -> set[int]:
     try:
         rows = (
-            spark.read.schema(LINEAGE_SCHEMA)
-            .parquet(lineage_path)
+            read_back(spark, lineage_path, LINEAGE_SCHEMA)
             .filter(F.col("run_id") == run_id)
             .select("partition_id")
             .collect()
@@ -134,12 +136,12 @@ def run_with_lineage(
         )
         # data first, lineage second: a crash between the two re-executes
         # the bucket (dynamic overwrite of the same subdirs — idempotent)
-        out.write.mode("overwrite").partitionBy("partition_id").parquet(output_path)
+        overwrite_buckets(out, output_path)
         # stats read back from the COMMITTED files (partition-pruned,
         # column-pruned scan), never from the lazy plan — re-deriving
         # `out` would re-run extraction
         written = (
-            spark.read.parquet(output_path)
+            read_back(spark, output_path)
             .select("partition_id", "n_spans")
             .filter(F.col("partition_id").isin(todo))
         )
@@ -196,4 +198,4 @@ def _commit_lineage(
             F.current_timestamp().alias("committed_at"),
         )
     )
-    lineage.write.mode("append").parquet(lineage_path)
+    append_rows(lineage, lineage_path)
