@@ -936,7 +936,12 @@ def q_dedup_tiered(spark, sf_dir):
     touches only the candidate population, never re-tokenizing the
     corpus (round 2 re-shingled ALL docs here; the judge flagged it as
     the one funnel stage that would not hold at 100 TB). Returns the
-    per-tier funnel counts as one row."""
+    per-tier funnel counts as one row, computed in ONE linear pass: tier
+    provenance rides the candidate rows as flags through the groupBy
+    dedup and the verify join, so all four counts fall out of a single
+    final aggregate — each tier's signatures are computed exactly once
+    (the previous 4-crossJoin-of-aggregates tail re-executed the simhash
+    and minhash subtrees up to 3x each)."""
     from extraction.dedup import (
         minhash_lsh_candidates,
         simhash_near_pairs,
@@ -946,22 +951,41 @@ def q_dedup_tiered(spark, sf_dir):
     d = _par(spark, _t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
+    # shingle_k=3: the simhash tier votes over the SAME 3-shingles the
+    # minhash tier and the verifier use — unigram simhash correlates on
+    # short docs (271,530 hamming<=3 pairs on this 5000-doc corpus, 2.2%
+    # of all pairs, of which 256 verify); shingle votes are ~independent
+    # for unrelated docs, so the tier blocks instead of flooding
     tier_sim = simhash_near_pairs(
-        d, "text", "doc_id", bits=60, bands=4, max_hamming=3
-    ).select("id_a", "id_b")
+        d, "text", "doc_id", bits=60, bands=4, max_hamming=3, shingle_k=3
+    ).select("id_a", "id_b", F.lit(1).alias("s"), F.lit(0).alias("m"))
     tier_mh = minhash_lsh_candidates(
         d, "text", "doc_id", k=3, perms=16, bands=4
-    ).select("id_a", "id_b")
-    cand = tier_sim.unionByName(tier_mh).distinct()
-    scored = verify_candidates(d, cand, "text", "doc_id", k=3)
-    ver = scored.filter(
-        F.col("inter") * 2 >= (F.col("nsh_a") + F.col("nsh_b") - F.col("inter"))
+    ).select("id_a", "id_b", F.lit(0).alias("s"), F.lit(1).alias("m"))
+    # per-pair tier flags survive the union-dedup (max) — both tiers emit
+    # distinct pairs, so sum(s)/sum(m) equal the tier cardinalities
+    cand = (
+        tier_sim.unionByName(tier_mh)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("s").alias("s"), F.max("m").alias("m"))
     )
-    return (
-        tier_sim.agg(F.count("*").alias("n_simhash"))
-        .crossJoin(tier_mh.agg(F.count("*").alias("n_minhash")))
-        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(ver.agg(F.count("*").alias("n_verified")))
+    # materialize the (tiny — permille of corpus) candidate table between
+    # the blocking and verify stages: verify references it twice (the
+    # semi-join id set and the broadcast pair join), and without a
+    # barrier each reference re-executes BOTH blocking tiers. Production
+    # writes candidates to a table here; localCheckpoint is the
+    # single-session analog (measured 11.4 s -> the funnel's one-pass
+    # cost at sf0.1)
+    cand = cand.localCheckpoint(eager=False)
+    scored = verify_candidates(d, cand, "text", "doc_id", k=3)
+    verified = (
+        F.col("inter") * 2 >= (F.col("nsh_a") + F.col("nsh_b") - F.col("inter"))
+    ).cast("long")
+    return scored.agg(
+        F.sum("s").cast("long").alias("n_simhash"),
+        F.sum("m").cast("long").alias("n_minhash"),
+        F.count("*").alias("n_candidates"),
+        F.sum(verified).alias("n_verified"),
     )
 
 

@@ -118,6 +118,17 @@ def minhash_lsh_candidates(
     pushes the filter below the projection by substituting the alias —
     the whole minhash fold then runs TWICE per row; measured +60% on the
     signature stage. The word-count predicate costs one normalize+split.)
+
+    The signature table is MATERIALIZED (localCheckpoint) before banding:
+    the in-bucket self-join references it on both sides, and with a
+    small/broadcastable side Spark plans a broadcast join — no shuffle
+    exchange exists to reuse, so each side would re-run the whole
+    normalize→shingle→fold subtree over the corpus text (measured ~2x
+    the tier wall). The signature table is perms longs per doc — the
+    thing a 100 TB funnel writes to a table between stages anyway;
+    localCheckpoint is the single-session analog (batch-only operator;
+    non-replicated blocks trade lineage-recovery for never recomputing
+    the text pass — exactly the table-materialization trade).
     """
     rows = perms // bands
     sig = df.filter(
@@ -125,7 +136,7 @@ def minhash_lsh_candidates(
     ).select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), k, perms).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "id",
         F.explode(
@@ -161,6 +172,7 @@ def simhash_near_pairs(
     bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """Hamming-near pairs (id_a < id_b) via banded SimHash blocking —
     the cheap near-dup tier of a training-data pipeline (hash-space
@@ -190,9 +202,17 @@ def simhash_near_pairs(
     32/4 configuration (8-bit chunks, 256 keys/band — quadratic from
     ~10^4 docs) is exactly the hazard this docstring exists to flag.
 
-    Same sentinel guard as MinHash-LSH: docs with zero words after
+    Same sentinel guard as MinHash-LSH: docs with zero tokens after
     normalization (simhash 0) are excluded — at corpus scale they would
     all collide in every band and the in-bucket join is quadratic.
+
+    ``shingle_k``: hash k-word shingles instead of unigrams (see
+    textops.simhash) — the unigram form's per-bit votes CORRELATE on
+    short same-vocabulary docs, silently collapsing band-key cardinality
+    back into the quadratic regime the chunk-width bound above guards
+    against. Pass the verify stage's shingle width (the tiered funnel
+    does) for a blocking tier that is both selective and semantically
+    aligned with its verifier.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -206,14 +226,24 @@ def simhash_near_pairs(
         )
     chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
-    # word-count guard BEFORE the projection (same pushdown-duplication
-    # trap as in minhash_lsh_candidates — see that docstring)
-    base = df.filter(
-        F.size(words(normalize_text(F.col(text_col)))) > 0
-    ).select(
+    # token-count guard BEFORE the projection (same pushdown-duplication
+    # trap as in minhash_lsh_candidates — see that docstring). The
+    # shingle set is nonempty iff the doc has >= k words (n words yield
+    # n-k+1 shingles), so the guard needs only the CHEAP word count —
+    # evaluating word_shingles here would pay its k+1 split
+    # re-evaluations a second time per join side (measured 6.6 s ->
+    # 3.3 s on the sf0.1 tier)
+    min_words = shingle_k if shingle_k is not None else 1
+    nonempty = F.size(words(normalize_text(F.col(text_col)))) >= min_words
+    # materialized before banding for the same reason as the minhash
+    # tier: the band self-join references both sides, and a broadcast
+    # plan re-runs the text→simhash subtree per side (see
+    # minhash_lsh_candidates' docstring; (id, sh) is 16 bytes/doc —
+    # the table a production funnel persists between stages)
+    base = df.filter(nonempty).select(
         F.col(id_col).alias("id"),
-        simhash(F.col(text_col), bits).alias("sh"),
-    )
+        simhash(F.col(text_col), bits, shingle_k=shingle_k).alias("sh"),
+    ).localCheckpoint(eager=False)
     banded = base.select(
         "id",
         "sh",
@@ -299,8 +329,11 @@ def verify_candidates(
 ) -> DataFrame:
     """Exact-Jaccard scoring of candidate pairs — the shared verify stage
     of EVERY near-dup funnel (single-tier LSH or the tiered
-    simhash ∪ minhash union). Returns (id_a, id_b, inter, nsh_a, nsh_b);
-    the caller applies its threshold.
+    simhash ∪ minhash union). Returns (id_a, id_b, <any extra cands
+    columns>, inter, nsh_a, nsh_b); the caller applies its threshold.
+    Extra candidate columns (tier-provenance flags, blocking keys) ride
+    through the verify join untouched, so funnel accounting needs no
+    second pass over the tiers.
 
     Shingles are computed ONLY for docs that appear in some candidate
     pair: the distinct candidate-id set broadcasts as a semi-join filter
@@ -336,6 +369,7 @@ def verify_candidates(
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    extra = [c for c in cands.columns if c not in ("id_a", "id_b")]
     return (
         F.broadcast(cands)
         .join(a, "id_a")
@@ -343,6 +377,7 @@ def verify_candidates(
         .select(
             "id_a",
             "id_b",
+            *extra,
             F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
             F.size("sh_a").cast("long").alias("nsh_a"),
             F.size("sh_b").cast("long").alias("nsh_b"),

@@ -889,7 +889,9 @@ sh AS (
 ), mhpairs AS (
 {_LSH_JOINS}
 ), w AS (
-  SELECT doc_id AS id, unnest(list_distinct(ws)) AS word FROM wsed
+  -- shingle-simhash tier: votes drawn from the SAME k=3 shingles the
+  -- minhash tier and the verifier use (mirrors shingle_k=3 in the entry)
+  SELECT doc_id AS id, unnest(list_distinct(shingles)) AS word FROM sh
 ), h AS (
   SELECT id, CAST(concat('0x', substr(md5(word), 1, {_simhash_hex(_SIMHASH_BITS)})) AS BIGINT) AS wh FROM w
 ), votes AS (

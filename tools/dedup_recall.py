@@ -81,7 +81,9 @@ def main() -> int:
         return {(min(a, b), max(a, b)) for a, b in df.select("id_a", "id_b").collect()}
 
     tier_sim = pairs_of(
-        simhash_near_pairs(d, "text", "doc_id", bits=60, bands=4, max_hamming=3)
+        simhash_near_pairs(
+            d, "text", "doc_id", bits=60, bands=4, max_hamming=3, shingle_k=3
+        )
     )
     tier_mh = pairs_of(minhash_lsh_candidates(d, "text", "doc_id", k=3, perms=16, bands=4))
     cand = tier_sim | tier_mh
@@ -113,7 +115,7 @@ def main() -> int:
         "",
         "| stage | pairs | true pairs hit | recall |",
         "|---|---|---|---|",
-        stats("simhash tier (60-bit, 4 bands, hamming<=3)", tier_sim),
+        stats("simhash tier (60-bit shingle-simhash, 4 bands, hamming<=3)", tier_sim),
         stats("minhash-LSH tier (16 perms, 4 bands)", tier_mh),
         stats("union (candidates)", cand),
         stats("verified (exact Jaccard on candidates)", verified),
