@@ -1222,3 +1222,44 @@ SELECT media_ref,
 FROM fnv
 WHERE mime LIKE 'image/%' AND h <> 0
 """
+
+# S6: PAGE-XML sink + source round-trip (src/HelperMethods.py:116-157) —
+# the same build (ordered r1..rN regions, 4-corner points strings) and
+# regexp parse as the Spark query, mirrored in SQL.
+_PAGE_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15"
+
+ORACLES["s6_page_xml_roundtrip"] = f"""
+WITH {_sessions_cte(SESSION_GAP_S)},
+ordered AS (
+  SELECT user_id, t_min, t_max,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY t_min, t_max, session_id) AS rn
+  FROM blocks_sess
+), pages AS (
+  SELECT user_id,
+         string_agg(
+           '<TextRegion id="r' || rn || '"><Coords points="'
+           || t_min || ',0 ' || t_max || ',0 ' || t_max || ',1 '
+           || t_min || ',1"/></TextRegion>', '' ORDER BY rn) AS body,
+         MAX(t_max) AS w
+  FROM ordered GROUP BY user_id
+), xmls AS (
+  SELECT user_id,
+         '<PcGts xmlns="{_PAGE_NS}"><Page imageFilename="u'
+         || user_id || '" imageWidth="' || w || '" imageHeight="1">'
+         || body || '</Page></PcGts>' AS xml
+  FROM pages
+), parsed AS (
+  SELECT user_id,
+         regexp_extract_all(xml, '<TextRegion id="r(\\d+)">', 1) AS ids,
+         regexp_extract_all(xml, 'points="([^"]*)"', 1) AS pts,
+         CAST(regexp_extract(xml, 'imageWidth="(\\d+)"', 1) AS BIGINT) AS page_w
+  FROM xmls
+)
+SELECT user_id,
+       CAST(z[1] AS BIGINT) AS region_id,
+       CAST(str_split(str_split(z[2], ' ')[1], ',')[1] AS BIGINT) AS lo,
+       CAST(str_split(str_split(z[2], ' ')[2], ',')[1] AS BIGINT) AS hi,
+       page_w
+FROM parsed, UNNEST(list_zip(ids, pts)) AS u(z)
+"""

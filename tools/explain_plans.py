@@ -411,6 +411,26 @@ def main() -> int:
         },
     )
 
+    # --- S6 PAGE-XML round-trip: one exchange total ---
+    # sessionize's window hashes on user_id; every later groupBy clusters
+    # on a SUPERSET of user_id (user_id, session_id), which
+    # HashPartitioning(user_id) already satisfies — so build + regexp
+    # parse ride the sessionize shuffle with no exchange of their own
+    import __spark_entry__ as se
+
+    sx = se.q_s6_page_xml_roundtrip(spark, SF_DIR)
+    sxsimple = sx._jdf.queryExecution().executedPlan().toString()
+    check(
+        "s6 PAGE-XML round-trip (sessionize -> build XML -> regexp parse)",
+        plan_of(sx),
+        {
+            "exactly one exchange (the sessionize shuffle, reused by "
+            "every downstream group)": sxsimple.count("Exchange") == 1,
+            "no Python in the path (build+parse are JVM built-ins)":
+                "Python" not in sxsimple and "ArrowEval" not in sxsimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
