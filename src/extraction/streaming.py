@@ -54,12 +54,15 @@ Scale/robustness notes:
   micro-batch that touches an open doc rewrites the whole accumulated
   payload (state-store write amplification). At 10^12 docs the
   buffer-in-state design here is right for docs that complete within a
-  few micro-batches; for long-lived stragglers, production would keep
-  only ``(seen, n_frags)`` counters in state, land fragments in a
-  staging table, and emit completed doc_ids to drive an assembly join —
-  the state store then holds bytes per doc, not the doc itself. The
-  operator contract (exactly-once complete docs, idempotent duplicate
-  handling) is identical; only the buffer location changes.
+  few micro-batches; for long-lived stragglers the PRODUCTION VARIANT
+  below (``mark_fragments`` + ``start_staged_assembly``) keeps only
+  ``(n_frags, seen-bitmask, done)`` counters in state, lands fragments
+  once in a parquet staging table, and drives a per-micro-batch
+  assembly join from completion markers — the state store then holds
+  bytes per doc, not the doc itself. The operator contract
+  (exactly-once complete docs, idempotent duplicate handling, timeout
+  eviction) is identical — enforced by the shared contract suite in
+  tests/test_streaming_staged.py; only the buffer location changes.
 
 The reference has no streaming of any kind (it batch-processes a closed
 directory of images, /root/reference/src/detect_paragraphs.py); this is
@@ -68,15 +71,18 @@ an engine extension per SURVEY.md §7.6.
 
 from __future__ import annotations
 
+import os
 import pickle
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     IntegerType,
     StringType,
     StructField,
@@ -172,6 +178,165 @@ def assemble_fragments(frags: DataFrame, timeout_sec: float | None = None) -> Da
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
         if timeout_sec
         else GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Production variant: counters-in-state + staging table + assembly join.
+#
+# Same operator contract as assemble_fragments (exactly-once complete
+# docs, idempotent duplicate handling before AND after completion,
+# timeout eviction of stragglers) — only the buffer location changes:
+# the state store holds (n_frags, seen-bitmask, done) = BYTES per doc,
+# fragments land once in a parquet staging table, and completed docs are
+# assembled by a JVM-side join per micro-batch. This closes the
+# write-amplification caveat documented above: a micro-batch touching an
+# open doc rewrites a bitmask, never the accumulated span payload.
+# ---------------------------------------------------------------------------
+
+# stateful pass-through output: first-delivery fragments (is_marker=false)
+# plus one completion marker per doc (is_marker=true, frag_id=-1, spans=[])
+_STAGED_SCHEMA = StructType(
+    FRAGMENTS_SCHEMA.fields + [StructField("is_marker", BooleanType(), False)]
+)
+
+# (n_frags, little-endian seen-bitmask, done) — bytes per doc, not the doc
+_COUNTER_STATE_SCHEMA = StructType(
+    [
+        StructField("n_frags", IntegerType(), True),
+        StructField("seen_mask", BinaryType(), True),
+        StructField("done", BooleanType(), True),
+    ]
+)
+
+
+def mark_fragments(frags: DataFrame, timeout_sec: float | None = None) -> DataFrame:
+    """Counter-state dedup + completion detection, payloads pass through.
+
+    Emits every FIRST delivery of a fragment unchanged (redeliveries are
+    dropped against the seen-bitmask — before or after completion), plus
+    exactly one marker row per doc the micro-batch completes. State per
+    key is (n_frags:int, bitmask:ceil(n/8) bytes, done:bool); after
+    completion the entry doubles as the tombstone until timeout_sec
+    expires it, exactly like the buffer variant's null-payload tombstone.
+    """
+    timeout_ms = int(timeout_sec * 1000) if timeout_sec else 0
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # open doc: evict counters (its staged fragments become the
+            # dead-letter population a compaction pass reclaims);
+            # done doc: redelivery horizon passed — forget the doc_id
+            state.remove()
+            return
+        if state.exists:
+            n_frags, mask_b, done = state.get
+            mask = int.from_bytes(mask_b, "little")
+        else:
+            n_frags, mask, done = -1, 0, False
+        fresh = []
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                n_frags = int(row.n_frags)
+                fid = int(row.frag_id)
+                if not done and not (mask >> fid) & 1:
+                    mask |= 1 << fid
+                    fresh.append((key[0], fid, n_frags, row.spans, False))
+        if not done and n_frags > 0 and mask.bit_count() == n_frags:
+            done = True
+            fresh.append((key[0], -1, n_frags, [], True))
+        state.update(
+            (n_frags, mask.to_bytes((max(n_frags, 1) + 7) // 8, "little"), done)
+        )
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        if fresh:
+            yield pd.DataFrame(
+                fresh,
+                columns=["doc_id", "frag_id", "n_frags", "spans", "is_marker"],
+            )
+
+    return frags.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType=_STAGED_SCHEMA,
+        stateStructType=_COUNTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_sec
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_staged_assembly(
+    frags: DataFrame,
+    staging_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: float | None = None,
+):
+    """Start the staged-assembly stream; returns the StreamingQuery.
+
+    Per micro-batch (foreachBatch, ORDER within the batch is the
+    correctness argument):
+
+    1. First-delivery fragments append to the staging table as
+       ``staging_dir/epoch_<id>`` written with mode=overwrite — a
+       replayed epoch after a crash rewrites the same directory, so
+       staging holds each fragment exactly once.
+    2. Marker doc_ids (tiny) broadcast-semi-join the FULL staging table
+       (this epoch's directory included — written in step 1), fragments
+       group per doc, ``array_sort`` on (frag_id) restores document
+       order JVM-side, and the assembled docs run through the unchanged
+       vectorized kernel into ``output_dir/epoch_<id>`` — also
+       overwrite, so emission stays exactly-once across replays.
+
+    The state store never holds a span payload; staging compaction
+    (drop fragments of docs emitted before the oldest retained epoch,
+    plus timeout-evicted orphans) is an offline maintenance job outside
+    this operator, as in any log-structured ingest design.
+    """
+
+    def commit_batch(batch_df, epoch_id: int):
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            batch_df.filter(~F.col("is_marker")).drop("is_marker").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(staging_dir, f"epoch_{epoch_id}"))
+            done_ids = batch_df.filter(F.col("is_marker")).select("doc_id")
+            if done_ids.isEmpty():
+                return
+            staged = spark.read.schema(FRAGMENTS_SCHEMA).parquet(
+                os.path.join(staging_dir, "epoch_*")
+            )
+            assembled = (
+                staged.join(F.broadcast(done_ids), "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("frag_id", "spans"))
+                    ).alias("fs")
+                )
+                .select(
+                    "doc_id",
+                    F.flatten(
+                        F.expr("transform(fs, x -> x.spans)")
+                    ).alias("spans"),
+                )
+            )
+            extract(assembled).write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"epoch_{epoch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        mark_fragments(frags, timeout_sec=timeout_sec)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
     )
 
 
