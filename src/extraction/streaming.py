@@ -54,15 +54,18 @@ Scale/robustness notes:
   micro-batch that touches an open doc rewrites the whole accumulated
   payload (state-store write amplification). At 10^12 docs the
   buffer-in-state design here is right for docs that complete within a
-  few micro-batches; for long-lived stragglers the PRODUCTION VARIANT
-  below (``mark_fragments`` + ``start_staged_assembly``) keeps only
-  ``(n_frags, seen-bitmask, done)`` counters in state, lands fragments
-  once in a parquet staging table, and drives a per-micro-batch
-  assembly join from completion markers — the state store then holds
-  bytes per doc, not the doc itself. The operator contract
-  (exactly-once complete docs, idempotent duplicate handling, timeout
-  eviction) is identical — enforced by the shared contract suite in
-  tests/test_streaming_staged.py; only the buffer location changes.
+  few micro-batches; for long-lived stragglers TWO production variants
+  exist behind the same contract, differing in where the bookkeeping
+  lives: ``mark_fragments`` + ``start_counter_assembly`` below keeps
+  ``(n_frags, seen-bitmask, done)`` counters in state — bytes per doc —
+  lands fragments once in a staging table and drives the assembly join
+  from completion markers (tests/test_streaming_counters.py); sibling
+  ``streaming_staged.py`` goes fully state-store-free, replacing the
+  counters with a per-batch completion aggregate and the tombstone with
+  an emitted-doc ledger anti-join (tests/test_streaming_staged.py).
+  The operator contract (exactly-once complete docs, idempotent
+  duplicate handling, straggler dead-lettering) is identical across all
+  three; only the buffer/bookkeeping location changes.
 
 The reference has no streaming of any kind (it batch-processes a closed
 directory of images, /root/reference/src/detect_paragraphs.py); this is
@@ -182,7 +185,7 @@ def assemble_fragments(frags: DataFrame, timeout_sec: float | None = None) -> Da
 
 
 # ---------------------------------------------------------------------------
-# Production variant: counters-in-state + staging table + assembly join.
+# Production variant A: counters-in-state + staging table + assembly join.
 #
 # Same operator contract as assemble_fragments (exactly-once complete
 # docs, idempotent duplicate handling before AND after completion,
@@ -192,6 +195,15 @@ def assemble_fragments(frags: DataFrame, timeout_sec: float | None = None) -> Da
 # assembled by a JVM-side join per micro-batch. This closes the
 # write-amplification caveat documented above: a micro-batch touching an
 # open doc rewrites a bitmask, never the accumulated span payload.
+#
+# Variant B (streaming_staged.py) removes the state store entirely —
+# ledger anti-join instead of the done flag, per-batch completion
+# aggregate instead of counters. A keeps O(1) state lookups and
+# state-timeout dead-lettering; B trades those for zero state at the
+# cost of re-aggregating completion from staging each batch (pruned by
+# the batch's doc_ids). Both are the named alternatives in B's own
+# scale notes; at 10^12 docs A is the default, B fits engines whose
+# state store is the operational bottleneck.
 # ---------------------------------------------------------------------------
 
 # stateful pass-through output: first-delivery fragments (is_marker=false)
@@ -267,7 +279,7 @@ def mark_fragments(frags: DataFrame, timeout_sec: float | None = None) -> DataFr
     )
 
 
-def start_staged_assembly(
+def start_counter_assembly(
     frags: DataFrame,
     staging_dir: str,
     output_dir: str,

@@ -38,7 +38,8 @@ Iceberg table bucketed by hash(doc_id) so the semi-join prunes to the
 touched buckets, and the ledger is likewise a bucketed table (or the
 completion counters move back into the state store as bytes-sized
 (seen, n_frags) pairs — either works; the point is the PAYLOAD never
-lives in the state store). Stragglers that never complete simply age in
+lives in the state store; that counters alternative is implemented as
+``streaming.mark_fragments`` + ``streaming.start_counter_assembly``). Stragglers that never complete simply age in
 staging — dead-lettering is a partition-age maintenance job instead of
 a state timeout.
 

@@ -1,37 +1,44 @@
-"""Production-variant fragment assembly: counters-in-state + staging join.
-
-Same operator contract as the buffer-in-state assembler — the suite
-reuses the SAME fixture (fragments scattered across micro-batch files,
-duplicate deliveries, a held-back tail fragment completing across a
-stop/restart) and asserts the SAME outcomes (exactly-once emission,
-span-sequence equality with the batch kernel), plus the property that
-motivates the variant: the staging table holds each fragment exactly
-once, i.e. no micro-batch ever rewrites an accumulated payload.
+"""Parity contract tests for the STAGED assembler (streaming_staged.py)
+— the production variant of streaming.py's buffer-in-state design.
+Same contract, same fixtures as test_streaming_assembly.py: duplicate
+deliveries, fragments straddling micro-batches, a held-back tail
+fragment across a stop/restart, exactly-once emission, span-sequence
+equality with the batch kernel.
 """
 
 from __future__ import annotations
 
 import glob
-import time
+import os
 
 from extraction.corpus import gen_doc
 from extraction.oracle import extract_doc
-from extraction.streaming import FRAGMENTS_SCHEMA, start_staged_assembly
+from extraction.streaming import FRAGMENTS_SCHEMA
+from extraction.streaming_staged import start_staged_assembly
 
-from test_streaming_assembly import N_DOCS, _fragments
+from tests.test_streaming_assembly import N_DOCS, _fragments
 
 
-def _collect_epochs(spark, out):
-    dirs = glob.glob(out + "/epoch_*")
+def _run(spark, src, work):
+    q = start_staged_assembly(
+        spark.readStream.schema(FRAGMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        work,
+    )
+    q.awaitTermination(300)
+
+
+def _collect(spark, work):
     rows = (
-        spark.read.parquet(*dirs).select("doc_id", "spans").collect()
-        if dirs
-        else []
+        spark.read.option("basePath", os.path.join(work, "out"))
+        .parquet(os.path.join(work, "out"))
+        .select("doc_id", "spans")
+        .collect()
     )
     got = {
         r["doc_id"]: [
-            (s["kind"], s["text"], s["media_ref"], s["order"])
-            for s in r["spans"]
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]
         ]
         for r in rows
     }
@@ -39,28 +46,11 @@ def _collect_epochs(spark, out):
     return got
 
 
-def _run(spark, src, staging, out, ckpt):
-    q = start_staged_assembly(
-        spark.readStream.schema(FRAGMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src),
-        staging_dir=staging,
-        output_dir=out,
-        checkpoint_dir=ckpt,
-    )
-    q.awaitTermination(300)
-
-
 def test_staged_assembly_matches_batch_kernel(spark, tmp_path):
     files = _fragments()
     src = str(tmp_path / "frags")
-    staging = str(tmp_path / "staging")
-    out = str(tmp_path / "out")
-    ckpt = str(tmp_path / "ckpt")
+    work = str(tmp_path / "work")
 
-    # hold back the LAST fragment of doc 3 (a 4-fragment doc) until
-    # phase 2: its counters must survive the restart and its staged
-    # fragments must be picked up by a join epochs later
     held_doc, _ = gen_doc(3)
     held = [r for f in files for r in f if r[0] == held_doc and r[1] == 3]
     assert len(held) == 1
@@ -72,28 +62,29 @@ def test_staged_assembly_matches_batch_kernel(spark, tmp_path):
         spark.createDataFrame(chunk, FRAGMENTS_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-    _run(spark, src, staging, out, ckpt)  # phase 1
+    _run(spark, src, work)  # phase 1
 
-    got1 = _collect_epochs(spark, out)
+    got1 = _collect(spark, work)
     assert held_doc not in got1, "incomplete doc must not emit"
     assert len(got1) == N_DOCS - 1
 
-    # write-amplification property: despite duplicate deliveries in the
-    # fixture, staging holds each (doc_id, frag_id) exactly once
-    staged = spark.read.parquet(*glob.glob(staging + "/epoch_*"))
-    n_staged = staged.count()
-    n_distinct = staged.select("doc_id", "frag_id").distinct().count()
-    assert n_staged == n_distinct, "duplicate delivery reached staging"
-    want_frags = sum(1 + i % 4 for i in range(N_DOCS)) - 1  # minus held
-    assert n_staged == want_frags
+    # the write-amplification claim, checked: every fragment row lands in
+    # staging exactly once per DELIVERY (no per-batch payload rewrite of
+    # open docs — the state-store variant rewrites an open doc's whole
+    # payload every touched batch)
+    staged = spark.read.option(
+        "basePath", os.path.join(work, "staging")
+    ).parquet(os.path.join(work, "staging"))
+    n_deliveries = sum(len(f) for f in files)
+    assert staged.count() == n_deliveries
 
-    # phase 2: the held fragment lands; counters recovered from checkpoint
+    # phase 2: the held fragment lands; restart from the stream checkpoint
     spark.createDataFrame(held, FRAGMENTS_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(src)
-    _run(spark, src, staging, out, ckpt)
+    _run(spark, src, work)
 
-    got = _collect_epochs(spark, out)
+    got = _collect(spark, work)
     assert len(got) == N_DOCS, "every doc emits exactly once when complete"
 
     for i in range(N_DOCS):
@@ -106,61 +97,59 @@ def test_staged_assembly_matches_batch_kernel(spark, tmp_path):
         assert got_sorted == want, f"span-sequence mismatch for {doc_id}"
 
 
-def test_staged_timeout_evicts_straggler_counters(spark, tmp_path):
-    """Eviction parity: a straggler's counters expire, the doc never
-    emits, its staged fragments remain as the dead-letter population,
-    and a post-eviction tail delivery cannot resurrect it."""
+def test_staged_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay seam: re-running an already-committed batch's
+    foreachBatch body (out written, ledger written, checkpoint lost)
+    must overwrite to the identical result — no duplicate emission, no
+    loss. Simulated by invoking the batch processor directly twice."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from extraction.streaming_staged import _read_or_empty, assemble_completed
+
     src = str(tmp_path / "frags")
-    staging = str(tmp_path / "staging")
-    out = str(tmp_path / "out")
-    ckpt = str(tmp_path / "ckpt")
+    work = str(tmp_path / "work")
+    doc_id, spans = gen_doc(7)
+    cut = len(spans) // 2
+    rows = [(doc_id, 0, 2, spans[:cut]), (doc_id, 1, 2, spans[cut:])]
+    spark.createDataFrame(rows, FRAGMENTS_SCHEMA).coalesce(1).write.parquet(src)
 
-    full_id, full_spans = gen_doc(1)
-    open_id, open_spans = gen_doc(2)
-    cut = len(full_spans) // 2
-    phase1 = [
-        (full_id, 0, 2, full_spans[:cut]),
-        (full_id, 1, 2, full_spans[cut:]),
-        (open_id, 0, 2, open_spans[: len(open_spans) // 2]),
-    ]
-    spark.createDataFrame(phase1, FRAGMENTS_SCHEMA).coalesce(1).write.parquet(src)
+    _run(spark, src, work)
+    got1 = _collect(spark, work)
+    assert set(got1) == {doc_id}
 
-    def run(min_input_rows):
-        # same ProcessingTimeTimeout/availableNow caveat as the buffer
-        # variant's suite: wait for input consumption, let expired
-        # timers fire in no-data batches, then stop
-        q = start_staged_assembly(
-            spark.readStream.schema(FRAGMENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src),
-            staging_dir=staging,
-            output_dir=out,
-            checkpoint_dir=ckpt,
-            timeout_sec=1,
-        )
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if sum(p["numInputRows"] for p in q.recentProgress) >= min_input_rows:
-                break
-            time.sleep(1)
-        else:
-            q.stop()
-            raise AssertionError("stream never consumed this phase's rows")
-        time.sleep(4)
-        q.stop()
-        q.awaitTermination(60)
+    # replay: wipe the checkpoint so the SAME source files re-process as
+    # fresh batches against the existing staging/ledger/out dirs
+    import shutil
 
-    run(3)
-    assert set(_collect_epochs(spark, out)) == {full_id}
+    shutil.rmtree(os.path.join(work, "ckpt"))
+    _run(spark, src, work)
+    got2 = _collect(spark, work)
+    assert got2 == got1, "replayed batches must not duplicate or drop docs"
 
-    # post-eviction tail: doc re-opens with seen={1} of n_frags=2 — the
-    # head fragment is still in staging but the COUNTERS are gone, so
-    # completion is (correctly) impossible: dead-lettered, not resurrected
-    spark.createDataFrame(
-        [(open_id, 1, 2, open_spans[len(open_spans) // 2 :])], FRAGMENTS_SCHEMA
-    ).coalesce(1).write.mode("append").parquet(src)
-    run(1)
 
-    assert set(_collect_epochs(spark, out)) == {full_id}, (
-        "evicted straggler must never emit"
+def test_staged_post_completion_redelivery_swallowed(spark, tmp_path):
+    """A fragment redelivered AFTER its doc completed and emitted must
+    not re-emit the doc (the ledger anti-join is the tombstone here)."""
+    src = str(tmp_path / "frags")
+    work = str(tmp_path / "work")
+    doc_id, spans = gen_doc(11)
+    row = (doc_id, 0, 1, spans)
+    spark.createDataFrame([row], FRAGMENTS_SCHEMA).coalesce(1).write.parquet(src)
+    _run(spark, src, work)
+    assert set(_collect(spark, work)) == {doc_id}
+
+    # redelivery in a later batch
+    spark.createDataFrame([row], FRAGMENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run(spark, src, work)
+    got = _collect(spark, work)
+    assert set(got) == {doc_id}
+    # and the out table holds exactly one copy (the _collect uniqueness
+    # assert would fire on a doc_id-level dup; batch-level dirs can't
+    # hide one because every batch overwrote its own partition)
+    n_rows = sum(
+        spark.read.parquet(p).count()
+        for p in glob.glob(os.path.join(work, "out", "batch=*"))
     )
+    assert n_rows == 1
