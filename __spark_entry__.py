@@ -106,6 +106,59 @@ def _session_blocks(spark, sf_dir, gap_s: int = SESSION_GAP_S) -> DataFrame:
     )
 
 
+def q_g1_session_window(spark, sf_dir):
+    """G1 via the BUILT-IN session_window instead of the lag/cumsum pair —
+    the same gap grouping (reference: 1-D connected components,
+    src/DocumentAnalyzer.py:111-115) expressed as the operator Spark
+    ships for it. Value-hash equality against the cumsum DuckDB oracle
+    pins the inclusive merge semantics (diff <= gap) on both engines,
+    and the SAME function is the streaming sessionizer (append mode
+    under a watermark, tests/test_streaming_windows.py) — so the
+    driver-gated batch row doubles as the streaming operator's oracle.
+
+    Scale shape: one shuffle on user_id with native session-list state;
+    no per-user full sort window — at 100 TB the cumsum form pays a
+    partition-wide sort per user, this form merges sessions in state."""
+    from extraction.streaming_windows import sessionize_windows
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize_windows(ev, SESSION_GAP_S)
+
+
+def q_events_tumbling_stats(spark, sf_dir):
+    """Tumbling event-time window stats — the batch (driver-gated) mirror
+    of streaming_windows.windowed_kind_counts: per-(window, event_type)
+    counts, distinct users and an integerized value mass over 6-hour
+    buckets. Integer-exact aggregates only (count / count-distinct /
+    sum of floor(value*1000)) so the value hash is bit-stable across
+    engines; Spark's window() buckets raw epoch micros exactly like the
+    oracle's floor(epoch/21600) (both floor against the 1970 UTC epoch).
+
+    Scale shape: ONE shuffle on (window, event_type) with map-side
+    partial agg; count(distinct) rewrites to a two-phase partial-agg
+    plan, no per-window row explosion."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "21600 seconds").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                "value_milli"
+            ),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "value_milli",
+        )
+    )
+
+
 def _doc_cls(spark, sf_dir) -> DataFrame:
     """P2 analog: 3 deterministic class scores + argmax (greatest + when)."""
     d = _t(spark, sf_dir, "documents")
@@ -1576,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         "s6_page_xml_roundtrip": q_s6_page_xml_roundtrip,
+        "g1_session_window": q_g1_session_window,
+        "events_tumbling_stats": q_events_tumbling_stats,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

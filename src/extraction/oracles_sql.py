@@ -162,6 +162,21 @@ WITH {_sessions_cte(SESSION_GAP_S)}
 SELECT user_id, session_id, t_min, t_max, n_events FROM blocks_sess
 """
 
+ORACLES["g1_session_window"] = f"""
+WITH {_sessions_cte(SESSION_GAP_S)}
+SELECT user_id, t_min, t_max, n_events FROM blocks_sess
+"""
+
+ORACLES["events_tumbling_stats"] = """
+SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS w_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events
+GROUP BY 1, 2
+"""
+
 ORACLES["g4_scale_clip"] = f"""
 WITH {_sessions_cte(SESSION_GAP_S)}
 SELECT user_id, session_id, t_min AS lo,

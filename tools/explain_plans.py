@@ -431,6 +431,39 @@ def main() -> int:
         },
     )
 
+    # --- event-time window operators (streaming_windows.py, batch forms) ---
+    # session_window: native session aggregation — one hash exchange on
+    # the group key, session merge in the agg operator, no per-user
+    # full-partition sort window (the cumsum form's cost), no Python
+    sw = se.q_g1_session_window(spark, SF_DIR)
+    swsimple = sw._jdf.queryExecution().executedPlan().toString()
+    check(
+        "g1 session_window (native session agg, no window-sort pass)",
+        plan_of(sw),
+        {
+            "exactly one shuffle exchange":
+                swsimple.count("Exchange")
+                - swsimple.count("BroadcastExchange") == 1,
+            "no rank/lag Window operator (state-merged, not sorted cumsum)":
+                "\nWindow" not in swsimple and " Window " not in swsimple,
+            "JVM-side end to end":
+                "Python" not in swsimple and "ArrowEval" not in swsimple,
+        },
+    )
+
+    tw = se.q_events_tumbling_stats(spark, SF_DIR)
+    twsimple = tw._jdf.queryExecution().executedPlan().toString()
+    check(
+        "events tumbling-window stats (partial agg below the shuffle)",
+        plan_of(tw),
+        {
+            "map-side partial aggregation": "partial_count" in twsimple
+                or "partial" in twsimple.lower(),
+            "JVM-side end to end":
+                "Python" not in twsimple and "ArrowEval" not in twsimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
