@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType, TimestampType
 
 from extraction.streaming import FRAGMENTS_SCHEMA
+from extraction.textops import fingerprint
 
 # fragment contract + ingest event time (assigned by the crawler at
 # fragment creation, NOT at delivery — that is what makes late delivery
@@ -86,6 +87,41 @@ def sessionize_windows(
         F.max("t").alias("t_max"),
         F.count("*").alias("n_events"),
     ).drop("session_window")
+
+
+def dedup_stream_exact(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: first delivery of a fingerprint wins.
+
+    The streaming form of ``dedup.exact_duplicates`` (same
+    ``textops.fingerprint``: md5 over normalized text): each arriving
+    doc gets its content fingerprint; ``dropDuplicatesWithinWatermark``
+    emits the first arrival per fingerprint and suppresses every
+    duplicate that lands within the watermark horizon of it.
+
+    The horizon IS the state bound, stated as contract rather than
+    hidden: dedup state per fingerprint is evicted once the watermark
+    passes its event time + delay, so a duplicate arriving later than
+    the horizon RE-EMITS. That is the only state-bounded semantics
+    possible on an unbounded stream — global exact dedup needs the
+    batch operator (or a downstream batch compaction over the emitted
+    stream, which the Iceberg seam's bucket overwrite provides). Both
+    sides of the trade are contract-tested (suppression within the
+    horizon, re-emission beyond it). Input rows must carry ``event_ts``
+    (crawl time, not delivery time).
+
+    Scale shape: one shuffle on the fingerprint; state is one tiny
+    (fp, ts) entry per distinct doc INSIDE the horizon — at a 10^12-doc
+    corpus the horizon, not the corpus, sizes the store.
+    """
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
 
 
 def windowed_kind_counts(

@@ -209,3 +209,64 @@ def test_windowed_counts_drop_late_fragment(spark, tmp_path):
         (1000, "media"): (1, 0),
         (1010, "text"): (2, 7),
     }, f"late fragment leaked or counts wrong: {got}"
+
+
+def test_dedup_stream_suppresses_within_horizon_reemits_beyond(
+    spark, tmp_path
+):
+    """Both sides of the bounded-state dedup contract: a content
+    duplicate landing within the watermark horizon of the first
+    delivery is suppressed (across micro-batch runs); one landing after
+    the horizon evicted the fingerprint state re-emits."""
+    from extraction.streaming_windows import dedup_stream_exact
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, text string, t long"
+        ).select(
+            "doc_id", "text", F.timestamp_seconds("t").alias("event_ts")
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "doc_id string, text string, event_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        _run(dedup_stream_exact(stream, watermark="3600 seconds"), out, ckpt)
+
+    def emitted():
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # stage 1: two distinct docs
+    _append(df_of([("a1", "same text", 1000), ("b1", "other", 1001)]), src)
+    run()
+    assert emitted() == {"a1", "b1"}
+
+    # stage 2 (separate run, same checkpoint): a content duplicate of a1
+    # inside the horizon + one new doc — the dup must NOT re-emit even
+    # though it arrives in a different micro-batch run
+    _append(df_of([("a2-dup", "same text", 1005), ("c1", "third", 1010)]), src)
+    run()
+    assert emitted() == {"a1", "b1", "c1"}, "within-horizon dup leaked"
+
+    # stage 3: flush advances the watermark far past 1000 + 3600 so the
+    # fingerprint state evicts
+    _append(df_of([("zz-flush", "flush", 100_000)]), src)
+    run()
+
+    # stage 4: the same content again, beyond the horizon -> re-emits
+    # (the documented bounded-state trade; batch compaction owns global)
+    _append(df_of([("a3-late-dup", "same text", 100_001)]), src)
+    run()
+    assert "a3-late-dup" in emitted(), (
+        "state must evict at the horizon (bounded store) and the "
+        "post-horizon duplicate re-emit"
+    )
