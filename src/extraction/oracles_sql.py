@@ -167,6 +167,27 @@ WITH {_sessions_cte(SESSION_GAP_S)}
 SELECT user_id, t_min, t_max, n_events FROM blocks_sess
 """
 
+ORACLES["text_distinctive_terms"] = f"""
+WITH {_NORM_WORDS_CTE},
+wordlist AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term
+  FROM norm WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM wordlist GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+         ) AS rk
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df
+FROM ranked WHERE rk <= 3
+"""
+
 ORACLES["events_tumbling_stats"] = """
 SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS w_start,
        event_type,

@@ -241,3 +241,61 @@ def redact_pii(col: Column) -> Column:
     out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
     out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
     return out
+
+
+def distinctive_terms(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+):
+    """Per-document top-k distinctive terms — an integer-exact TF-IDF.
+
+    Ranks each document's terms by (tf DESC, df ASC, term ASC): highest
+    in-document frequency first, corpus-rare terms breaking ties — the
+    same ordering ln(N/df) weighting induces for fixed tf, with no
+    floating-point log whose last bit differs across engines. The
+    triple is a total order per document (terms are distinct within
+    one), so top-k is deterministic and the DuckDB oracle hash-matches
+    bit-exactly. Use: contamination screening and per-doc keyword
+    profiling over a training corpus.
+
+    Scale shape (the reason this isn't explode(words)): the per-word
+    relational form re-keys the corpus by word — at 100 TB that is the
+    whole corpus shuffled once per statistic. Here tf is computed
+    INSIDE each document's word array (size(filter(ws, == term)))
+    during the narrow generate stage, and only the per-doc DISTINCT
+    term rows (id, term, tf) ever reach an exchange — the word-array
+    payload is projected away before any shuffle. Three exchanges
+    total: df agg on term, the df equi-join back, and the per-doc
+    top-k window on id — each over the distinct-terms table, which is
+    |docs| x avg-distinct-terms, not corpus mass.
+
+    Returns (id_col, rk, term, tf, df) with rk in [1, k].
+    """
+    from pyspark.sql import Window
+
+    ws = F.array_sort(words(normalize_text(F.col(text_col))))
+    per_term = (
+        df.select(F.col(id_col), ws.alias("ws"))
+        .select(
+            id_col,
+            "ws",
+            F.explode(F.array_distinct("ws")).alias("term"),
+        )
+        .select(
+            id_col,
+            "term",
+            F.size(F.filter(F.col("ws"), lambda x: x == F.col("term")))
+            .cast("long")
+            .alias("tf"),
+        )
+    )
+    dfreq = per_term.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    )
+    return (
+        per_term.join(dfreq, "term")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rk", "term", "tf", "df")
+    )

@@ -464,6 +464,22 @@ def main() -> int:
         },
     )
 
+    # distinctive terms: tf computed in-array during the narrow generate
+    # stage; only distinct-term rows reach the exchanges
+    dt = se.q_text_distinctive_terms(spark, SF_DIR)
+    dtsimple = dt._jdf.queryExecution().executedPlan().toString()
+    check(
+        "text distinctive_terms (in-array tf -> distinct-term shuffles only)",
+        plan_of(dt),
+        {
+            "df agg shuffles on term (distinct-term rows, not words)":
+                "hashpartitioning(term" in dtsimple,
+            "map-side partial agg for df": "partial_count" in dtsimple,
+            "no cartesian / nested-loop": "Cartesian" not in dtsimple
+                and "NestedLoop" not in dtsimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
