@@ -556,3 +556,64 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """PARTIAL-overlap candidate pairs via winnowing fingerprints.
+
+    The gap this closes in the near-dup funnel: MinHash/SimHash score
+    WHOLE-document similarity, so a long document that merely CONTAINS
+    a plagiarized passage or a big quoted block scores low Jaccard and
+    sails through. Winnowing selects hashes such that any shared run of
+    >= w + k - 1 words yields a shared selection
+    (textops.winnow_sketch), so keying on selected hashes surfaces
+    passage-level overlap regardless of the surrounding document mass.
+
+    Returns (id_a, id_b, shared) where shared = number of common sketch
+    hashes, shared >= min_shared (id_a < id_b).
+
+    Scale safeguards, same discipline as the LSH tiers:
+
+    - Hashes appearing in > ``max_df`` docs are dropped BEFORE the
+      self-join (boilerplate n-grams — headers, licenses — are minima
+      of many windows in many docs; an unguarded hot hash is the
+      sentinel-bucket quadratic wearing a new hat). The guard is part
+      of the operator, not left to the caller.
+    - Hashes appearing in exactly one doc are pruned too (they cannot
+      form a pair) — at corpus scale that is MOST of the table, so the
+      self-join input shrinks by the unique-mass fraction for free.
+    - Only (id, hash) rows shuffle; text and sketch arrays never leave
+      the narrow stage.
+    """
+    from .textops import winnow_sketch
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_sketch(F.col(text_col), k, w)).alias("wh"),
+    )
+    # keep hashes with 2..max_df holders: singletons cannot pair,
+    # hot hashes are boilerplate (and the quadratic hazard)
+    eligible = (
+        ex.groupBy("wh")
+        .agg(F.count("*").alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= max_df))
+        .select("wh")
+    )
+    pruned = ex.join(eligible, "wh")
+    a = pruned.select(F.col("wh"), F.col("id").alias("id_a"))
+    b = pruned.select(F.col("wh"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

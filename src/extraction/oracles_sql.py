@@ -188,6 +188,52 @@ SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df
 FROM ranked WHERE rk <= 3
 """
 
+# winnowing (k=3 shingles, window w=4): positional shingles (NO
+# list_distinct — winnowing is position-sensitive), md5-prefix 32-bit
+# hashes, per-window minima, sorted distinct sketch. Mirrors
+# textops.winnow_sketch(k=3, w=4).
+_WINNOW_CTE = r"""
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(range(1, len(ws) - 2 + 1),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              ELSE [] END AS shingles
+  FROM wsed
+), hs AS (
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS h
+  FROM sh
+), mins AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, len(h) - 3 + 1),
+                          i -> list_min(list_slice(h, i, i + 3)))
+         )) AS sketch
+  FROM hs
+)"""
+
+ORACLES["text_winnow_sketch"] = f"""
+WITH {_NORM_WORDS_CTE}, {_WS_CTE}, {_WINNOW_CTE}
+SELECT doc_id, unnest(sketch) AS wh FROM mins
+"""
+
+ORACLES["dedup_winnow_overlap"] = f"""
+WITH {_NORM_WORDS_CTE}, {_WS_CTE}, {_WINNOW_CTE},
+ex AS (
+  SELECT doc_id AS id, unnest(sketch) AS wh FROM mins
+), eligible AS (
+  SELECT wh FROM ex GROUP BY wh HAVING COUNT(*) BETWEEN 2 AND 50
+), pr AS (
+  SELECT ex.id, ex.wh FROM ex JOIN eligible USING (wh)
+)
+SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+FROM pr a JOIN pr b ON a.wh = b.wh AND a.id < b.id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
 ORACLES["events_tumbling_stats"] = """
 SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS w_start,
        event_type,

@@ -109,10 +109,11 @@ def fingerprint64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text (array<string>).
-
-    Texts with fewer than k words yield an empty array.
+def word_shingles_seq(col: Column, k: int = 3) -> Column:
+    """POSITIONAL k-word shingles of the normalized text, in document
+    order with duplicates kept (array<string>) — the form winnowing and
+    any other position-sensitive fingerprint needs. Texts with fewer
+    than k words yield an empty array.
 
     Built by k−1 nested ``zip_with`` of the word array against its own
     shifted slices, then trimmed to n−k+1. This evaluates the word-array
@@ -124,7 +125,7 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     """
     ws = words(normalize_text(col))
     if k == 1:
-        return F.array_distinct(ws)
+        return ws
     acc = ws
     for j in range(1, k):
         # zip_with pads the shorter (sliced) array with nulls; concat_ws
@@ -135,8 +136,51 @@ def word_shingles(col: Column, k: int = 3) -> Column:
             F.slice(ws, j + 1, F.size(ws)),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    trimmed = F.slice(acc, 1, F.greatest(F.size(ws) - F.lit(k - 1), F.lit(0)))
-    return F.array_distinct(trimmed)
+    return F.slice(acc, 1, F.greatest(F.size(ws) - F.lit(k - 1), F.lit(0)))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>) —
+    the set form every Jaccard-family operator consumes. See
+    word_shingles_seq for the positional variant and the evaluation-cost
+    note."""
+    return F.array_distinct(word_shingles_seq(col, k))
+
+
+def winnow_sketch(col: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme) — sorted distinct selected hashes (array<long>).
+
+    Positional k-word shingles are hashed (portable md5-prefix 32-bit,
+    the same convention as the MinHash tier) and every window of ``w``
+    consecutive hashes contributes its MINIMUM to the sketch. The
+    scheme's guarantee: two documents sharing a contiguous run of at
+    least w + k - 1 words select at least one common hash — so the
+    sketch detects PARTIAL overlap (plagiarized passages, boilerplate
+    blocks, quoted chunks), which whole-document fingerprints and
+    set-Jaccard signatures both dilute away. Sketch density is ~2/(w+1)
+    of the shingle count, the paper's expected rate.
+
+    Docs with fewer than w full shingles (< w + k - 1 words) yield an
+    empty sketch — below the guarantee's resolution, not representable.
+
+    Scale shape: everything here is in-array inside one narrow
+    projection; nothing shuffles until the caller keys on the selected
+    hashes.
+    """
+    hs = F.transform(
+        word_shingles_seq(col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    nwin = F.size(hs) - F.lit(w - 1)
+    # sequence(1, n) is DESCENDING for n < 1 — guard the empty case
+    mins = F.when(
+        nwin >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nwin), lambda i: F.array_min(F.slice(hs, i, w))
+        ),
+    ).otherwise(F.slice(hs, 1, 0))  # typed empty array<long>
+    return F.array_sort(F.array_distinct(mins))
 
 
 def simhash(col: Column, bits: int = 32, shingle_k: int | None = None) -> Column:

@@ -480,6 +480,23 @@ def main() -> int:
         },
     )
 
+    # winnow overlap: sketch built in-array; only (id, hash) rows reach
+    # the self-join, pruned to hashes with 2..max_df holders first
+    wo = se.q_dedup_winnow_overlap(spark, SF_DIR)
+    wosimple = wo._jdf.queryExecution().executedPlan().toString()
+    check(
+        "dedup winnow_overlap (in-array sketch -> pruned hash self-join)",
+        plan_of(wo),
+        {
+            "self-join keys on the selected hash (equi, not cartesian)":
+                "hashpartitioning(wh" in wosimple
+                and "Cartesian" not in wosimple
+                and "NestedLoop" not in wosimple,
+            "JVM-side end to end":
+                "Python" not in wosimple and "ArrowEval" not in wosimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
