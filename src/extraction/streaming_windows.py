@@ -19,7 +19,10 @@ order and a bounded lateness horizon decides when a window is final:
   Gap semantics pinned by test: ``session_window`` merges two events
   when their time difference is <= gap (inclusive) — identical to the
   batch sessionizer's break predicate ``t - lag(t) > gap`` with no +1.
-  An exact-boundary event (diff == gap) is in the fixture.
+  An exact-boundary event (diff == gap) is in the fixture. The
+  checkpoint-restart leg of the contract lives in
+  tests/test_streaming_stateful.py, which drives this same function
+  through a stop/restart and asserts bit-equality to the batch cumsum.
 
 - ``windowed_kind_counts``: tumbling event-time window over the
   fragment ingest stream (per-window per-kind span counts + text mass —

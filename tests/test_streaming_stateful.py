@@ -77,20 +77,17 @@ WATERMARK_S = 40 * (2 * GAP_S + 10) + GAP_S  # > the fixture's full time span:
 
 
 def _stream_sessions(stream_df):
-    """Streaming equivalent: session_window over second-truncated ts with
-    gap GAP_S (inclusive-end merge — see module docstring)."""
-    return (
-        stream_df.withWatermark("ts", f"{WATERMARK_S} seconds")
-        .groupBy(
-            F.col("user_id"),
-            F.session_window(F.col("ts"), f"{GAP_S} seconds"),
-        )
-        .agg(
-            F.min(F.unix_timestamp("ts")).alias("t_min"),
-            F.max(F.unix_timestamp("ts")).alias("t_max"),
-            F.count("*").alias("n_events"),
-        )
-        .select("user_id", "t_min", "t_max", "n_events")
+    """Streaming leg: the SHARED sessionizer operator — the same function
+    the driver hash-gates in batch form as `g1_session_window`
+    (extraction.streaming_windows.sessionize_windows; inclusive-end
+    merge — see module docstring). This suite adds what the operator's
+    own suite (tests/test_streaming_windows.py) does not: bit-equality
+    to the batch cumsum form across a stop/restart that recovers session
+    state from the checkpoint."""
+    from extraction.streaming_windows import sessionize_windows
+
+    return sessionize_windows(
+        stream_df, GAP_S, watermark=f"{WATERMARK_S} seconds"
     )
 
 
