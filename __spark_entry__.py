@@ -177,11 +177,14 @@ def q_text_winnow_sketch(spark, sf_dir):
     >= w + k - 1 = 6 words share a sketch hash — the passage-level
     fingerprint whole-doc md5 and set-Jaccard both lack. All in-array
     in one narrow stage (textops.winnow_sketch)."""
-    from extraction.textops import winnow_sketch
+    from extraction.dedup import winnow_sketch_table
 
     d = _par(spark, _t(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", F.explode(winnow_sketch(F.col("text"), 3, 4)).alias("wh")
+    # sketch table materialized before the explode: Generate re-evaluates
+    # an interpreted-HOF generator per OUTPUT element (measured 20 s vs
+    # 0.2 s at sf0.1) — same discipline as the minhash signature table
+    return winnow_sketch_table(d, "text", "doc_id", 3, 4).select(
+        F.col("id").alias("doc_id"), F.explode("sketch").alias("wh")
     )
 
 

@@ -558,6 +558,28 @@ def embedding_neardup_pairs(
     )
 
 
+def winnow_sketch_table(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """(id, sketch) with the sketch MATERIALIZED (localCheckpoint) before
+    anything explodes or joins it.
+
+    Why: Generate (explode) over an interpreted higher-order-function
+    array re-evaluates the whole generator chain per OUTPUT element —
+    measured 20 s vs 0.2 s for the sf0.1 sketch explode — the same
+    re-evaluation trap as the minhash signature table above, one
+    operator further downstream. Materializing is the single-session
+    analog of writing the sketch table between pipeline stages, which a
+    100 TB funnel does anyway (the sketch is ~2/(w+1) longs per shingle
+    — far smaller than the text it fingerprints)."""
+    from .textops import winnow_sketch
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        winnow_sketch(F.col(text_col), k, w).alias("sketch"),
+    ).localCheckpoint(eager=False)
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text_col: str,
@@ -593,11 +615,8 @@ def winnow_overlap_pairs(
     - Only (id, hash) rows shuffle; text and sketch arrays never leave
       the narrow stage.
     """
-    from .textops import winnow_sketch
-
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(winnow_sketch(F.col(text_col), k, w)).alias("wh"),
+    ex = winnow_sketch_table(df, text_col, id_col, k, w).select(
+        "id", F.explode("sketch").alias("wh")
     )
     # keep hashes with 2..max_df holders: singletons cannot pair,
     # hot hashes are boilerplate (and the quadratic hazard)

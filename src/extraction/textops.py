@@ -126,17 +126,30 @@ def word_shingles_seq(col: Column, k: int = 3) -> Column:
     ws = words(normalize_text(col))
     if k == 1:
         return ws
-    acc = ws
-    for j in range(1, k):
-        # zip_with pads the shorter (sliced) array with nulls; concat_ws
-        # drops nulls, leaving partial shingles at the tail — sliced off
-        # below, so only full k-word shingles survive
-        acc = F.zip_with(
-            acc,
-            F.slice(ws, j + 1, F.size(ws)),
-            lambda a, b: F.concat_ws(" ", a, b),
+
+    # the normalize+split subtree is LET-BOUND via a single-element
+    # transform (lambda variable = bound reference) so every evaluation
+    # path — codegen'd aggregate, interpreted Generate, checkpoint row
+    # conversion — splits the text exactly once per row instead of k+1
+    # times (interpreted paths do no subexpression elimination; see
+    # winnow_sketch for the measured version of this trap)
+    def chain(w_: Column) -> Column:
+        acc = w_
+        for j in range(1, k):
+            # zip_with pads the shorter (sliced) array with nulls;
+            # concat_ws drops nulls, leaving partial shingles at the
+            # tail — sliced off below, so only full k-word shingles
+            # survive
+            acc = F.zip_with(
+                acc,
+                F.slice(w_, j + 1, F.size(w_)),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return F.slice(
+            acc, 1, F.greatest(F.size(w_) - F.lit(k - 1), F.lit(0))
         )
-    return F.slice(acc, 1, F.greatest(F.size(ws) - F.lit(k - 1), F.lit(0)))
+
+    return F.element_at(F.transform(F.array(ws), chain), 1)
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
@@ -172,15 +185,35 @@ def winnow_sketch(col: Column, k: int = 3, w: int = 4) -> Column:
         word_shingles_seq(col, k),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    nwin = F.size(hs) - F.lit(w - 1)
-    # sequence(1, n) is DESCENDING for n < 1 — guard the empty case
-    mins = F.when(
-        nwin >= 1,
-        F.transform(
-            F.sequence(F.lit(1), nwin), lambda i: F.array_min(F.slice(hs, i, w))
-        ),
-    ).otherwise(F.slice(hs, 1, 0))  # typed empty array<long>
-    return F.array_sort(F.array_distinct(mins))
+
+    # sliding-window min as w-1 nested zip_with+least. Two evaluation
+    # traps, both measured on the sf0.1 sketch query:
+    # (1) the obvious form — transform(sequence(1, nwin),
+    #     i -> array_min(slice(hs, i, w))) — embeds hs INSIDE the
+    #     lambda; interpreted higher-order functions re-evaluate it per
+    #     ELEMENT: every window position re-hashes every shingle,
+    #     O(n^2) md5 per doc (70 s vs ~1 s).
+    # (2) referencing hs once per zip_with LEVEL still duplicates the
+    #     hash+shingle subtree ~2w times in the expression tree; codegen
+    #     subexpression elimination dedupes that in aggregate projections
+    #     but the INTERPRETED paths (Generate, checkpoint row conversion)
+    #     expand every copy (18 s materialization vs 0.07 s aggregate).
+    # The fix for both: LET-BIND hs via a single-element transform — the
+    # lambda variable h is a bound reference, so the hash chain is
+    # evaluated exactly once per row on every evaluation path.
+    # zip_with pads the shorter side with nulls; least() skips nulls, so
+    # tail entries are partial-window minima — sliced off, exactly the
+    # full-window count n - w + 1 survives.
+    def mins_of(h: Column) -> Column:
+        acc = h
+        for j in range(1, w):
+            acc = F.zip_with(
+                acc, F.slice(h, j + 1, F.size(h)), lambda a, b: F.least(a, b)
+            )
+        sel = F.slice(acc, 1, F.greatest(F.size(h) - F.lit(w - 1), F.lit(0)))
+        return F.array_sort(F.array_distinct(sel))
+
+    return F.element_at(F.transform(F.array(hs), mins_of), 1)
 
 
 def simhash(col: Column, bits: int = 32, shingle_k: int | None = None) -> Column:
