@@ -908,6 +908,41 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_dedup_clean_corpus(spark, sf_dir):
+    """The dedup pipeline's SHIPPED artifact: the cleaned corpus. Composes
+    the whole funnel end to end — LSH candidates → exact-Jaccard verify →
+    connected components → survivor per cluster → broadcast ANTI-join of
+    the drop set against the corpus — and returns the per-lang doc and
+    whitespace-token mass of what survives (the numbers a training run
+    budgets against).
+
+    Scale shape: the drop set is the non-survivor members of near-dup
+    clusters — permille of the corpus — so the final anti-join broadcasts
+    it and the corpus itself never shuffles for the cleaning step; the
+    per-lang agg is map-side partial over a handful of groups."""
+    from extraction.dedup import lsh_verified_pairs, neardup_components
+    from extraction.textops import token_count_ws
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    pairs = lsh_verified_pairs(
+        d, "text", "doc_id", k=3, perms=16, bands=4,
+        threshold_num=1, threshold_den=2,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    drops = (
+        neardup_components(pairs)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = d.join(F.broadcast(drops), "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).alias("ws_tokens"),
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup, blocked by sign-LSH bucket — the scale shape:
     the O(n²) cosine join runs only within buckets (16× fewer pairs at
@@ -1676,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distinctive_terms": q_text_distinctive_terms,
         "text_winnow_sketch": q_text_winnow_sketch,
         "dedup_winnow_overlap": q_dedup_winnow_overlap,
+        "dedup_clean_corpus": q_dedup_clean_corpus,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

@@ -720,8 +720,9 @@ WHERE inter * 2 >= (nsh_a + nsh_b - inter) * 1
 # reachability via recursive CTE (the UNION dedups (id, comp) states, so
 # the recursion enumerates each reachable label once and terminates);
 # MIN over reachable labels == Spark's min-propagation fixpoint
-ORACLES["dedup_components"] = f"""
-WITH RECURSIVE {_NORM_WORDS_CTE[1:]},
+# shared CTE chain: shingles -> minhash sig -> LSH pairs -> exact-Jaccard
+# verify -> undirected edges -> recursive min-label reachability ("reach")
+_CC_CTES = f"""WITH RECURSIVE {_NORM_WORDS_CTE[1:]},
 {_WS_CTE[1:]},
 sh AS (
   SELECT doc_id, {_shingles_expr(3)} AS shingles FROM wsed
@@ -751,11 +752,28 @@ sh AS (
   SELECT id, id AS comp FROM verts
   UNION
   SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
-)
+)"""
+
+ORACLES["dedup_components"] = f"""
+{_CC_CTES}
 SELECT CAST(id AS BIGINT) AS id,
        CAST(MIN(comp) AS BIGINT) AS component,
        CAST(CASE WHEN MIN(comp) = id THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
 FROM reach GROUP BY id
+"""
+
+ORACLES["dedup_clean_corpus"] = f"""
+{_CC_CTES},
+drops AS (
+  SELECT id FROM reach GROUP BY id HAVING MIN(comp) <> id
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS ws_tokens
+FROM documents
+WHERE doc_id NOT IN (SELECT id FROM drops)
+GROUP BY lang
 """
 
 ORACLES["dedup_embedding_cosine"] = f"""

@@ -497,6 +497,22 @@ def main() -> int:
         },
     )
 
+    # clean corpus: the drop set (permille of corpus) broadcast-anti-joins
+    # against the corpus — the corpus never shuffles for the cleaning step
+    cc = se.q_dedup_clean_corpus(spark, SF_DIR)
+    cc.collect()  # AQE final plan (broadcast decision lands at runtime)
+    ccsimple = cc._jdf.queryExecution().executedPlan().toString()
+    check(
+        "dedup clean_corpus (broadcast anti-join of the drop set)",
+        plan_of(cc),
+        {
+            "anti-join is broadcast (corpus side never shuffles)":
+                "BroadcastHashJoin" in ccsimple and "LeftAnti" in ccsimple,
+            "no cartesian / nested-loop": "Cartesian" not in ccsimple
+                and "NestedLoop" not in ccsimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
