@@ -943,6 +943,26 @@ def q_dedup_clean_corpus(spark, sf_dir):
     )
 
 
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — training docs sharing any k-word
+    shingle with a held-out eval set (the GPT-3 appendix-C / PaLM
+    n-gram-overlap filter). The eval set is the deterministic
+    doc_id % 20 == 7 slice standing in for a benchmark suite; k=3 at
+    test scale (8–13 words in production). Scale shape: the benchmark
+    shingle set broadcasts, the corpus text never shuffles — see
+    dedup.decontaminate_hits."""
+    from extraction.dedup import decontaminate_hits
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") % 20 == 7)
+    train = d.filter(F.col("doc_id") % 20 != 7)
+    hits = decontaminate_hits(train, bench, "text", "doc_id", k=3)
+    return hits.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup, blocked by sign-LSH bucket — the scale shape:
     the O(n²) cosine join runs only within buckets (16× fewer pairs at
@@ -1712,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_sketch": q_text_winnow_sketch,
         "dedup_winnow_overlap": q_dedup_winnow_overlap,
         "dedup_clean_corpus": q_dedup_clean_corpus,
+        "dedup_decontaminate": q_dedup_decontaminate,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

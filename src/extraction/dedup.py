@@ -320,6 +320,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate_hits(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per-training-doc count of distinct
+    k-word shingles that appear ANYWHERE in an eval/benchmark set — the
+    filter a pretraining pipeline runs so the model is not graded on
+    memorized eval data (the GPT-3 appendix-C / PaLM n-gram-overlap
+    scheme; production uses 8–13-word n-grams, k=3 at test scale).
+
+    Returns (doc_id, n_hits) for contaminated docs only (n_hits ≥ 1);
+    the caller drops or audits them.
+
+    Scale shape: a benchmark suite is MBs against a 100 TB corpus, so
+    its distinct shingle set BROADCASTS and the corpus side stays
+    narrow — normalize → shingle → explode → broadcast LEFT SEMI join.
+    Only the (doc_id, shingle-hit) rows — a permille-scale stream —
+    reach the per-doc count's exchange, with map-side partial agg; the
+    corpus text itself never shuffles. When the benchmark outgrows a
+    comfortable broadcast, the production variant swaps the exact set
+    for a Bloom filter of benchmark shingles (bloom_filter_agg /
+    might_contain): same plan shape, constant executor memory, a
+    tunable false-positive rate instead of an OOM.
+    """
+    bsh = (
+        bench.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("shingles"),
+        )
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    tsh = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    # word_shingles is distinct-within-doc, so count(*) after the semi
+    # join == number of distinct contaminated shingles per doc
+    return (
+        tsh.join(F.broadcast(bsh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 def verify_candidates(
     df: DataFrame,
     cands: DataFrame,

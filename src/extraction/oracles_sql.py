@@ -776,6 +776,25 @@ WHERE doc_id NOT IN (SELECT id FROM drops)
 GROUP BY lang
 """
 
+# benchmark decontamination: the doc_id % 20 = 7 slice is the held-out
+# eval set; a training doc is contaminated iff it shares any 3-word
+# shingle with it (mirror of dedup.decontaminate_hits; word_shingles is
+# distinct-within-doc so COUNT(*) after the join = distinct hit shingles)
+ORACLES["dedup_decontaminate"] = f"""
+WITH {_NORM_WORDS_CTE[1:]},
+{_WS_CTE[1:]},
+sh AS (
+  SELECT doc_id, {_shingles_expr(3)} AS shingles FROM wsed
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 7
+), train AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 <> 7
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM train t JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+"""
+
 ORACLES["dedup_embedding_cosine"] = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_lsh_bucket_expr("embedding")} AS bucket FROM embeddings

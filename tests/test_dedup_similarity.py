@@ -229,3 +229,33 @@ def test_neardup_components_max_iter_raises(spark):
     df = spark.createDataFrame(chain, "id_a long, id_b long")
     with _pytest.raises(RuntimeError):
         neardup_components(df, max_iter=2)
+
+
+# --- benchmark decontamination (GPT-3 appendix-C n-gram overlap) ---
+
+def test_decontaminate_hits_counts_shared_shingles(spark):
+    from extraction.dedup import decontaminate_hits
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    # bench 3-word shingles: {the quick brown, quick brown fox,
+    #                         brown fox jumps}
+    train = _docs(spark, [
+        (0, "the quick brown fox ran"),          # shares 2
+        (1, "a slow red turtle walks away"),     # shares 0 -> absent
+        (2, "jumps the quick brown fox jumps"),  # shares 3 (distinct)
+        (3, "fox"),                              # degenerate -> absent
+        (4, "The QUICK, brown fox!"),            # normalization: shares 2
+    ])
+    got = {
+        r.doc_id: r.n_hits
+        for r in decontaminate_hits(train, bench, "text", "id", k=3).collect()
+    }
+    assert got == {0: 2, 2: 3, 4: 2}
+
+
+def test_decontaminate_empty_benchmark_flags_nothing(spark):
+    from extraction.dedup import decontaminate_hits
+
+    bench = _docs(spark, [(100, "xx")])  # < k words: empty shingle set
+    train = _docs(spark, [(0, "the quick brown fox ran")])
+    assert decontaminate_hits(train, bench, "text", "id", k=3).count() == 0

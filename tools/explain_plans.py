@@ -513,6 +513,28 @@ def main() -> int:
         },
     )
 
+    # decontamination: the benchmark shingle set broadcasts as a LEFT SEMI
+    # filter over the exploded training shingles — the corpus text never
+    # shuffles; only (doc_id) hit rows reach the count's exchange
+    dc = se.q_dedup_decontaminate(spark, SF_DIR)
+    dc.collect()  # AQE final plan
+    dcsimple = dc._jdf.queryExecution().executedPlan().toString()
+    check(
+        "dedup decontaminate (broadcast semi-join vs the benchmark shingle set)",
+        plan_of(dc),
+        {
+            "hit test is a broadcast LEFT SEMI (corpus side never shuffles "
+            "for the membership test)":
+                "BroadcastHashJoin" in dcsimple and "LeftSemi" in dcsimple,
+            "per-doc count has map-side partial agg":
+                "partial_count" in dcsimple,
+            "no cartesian / nested-loop / Python in the hot path":
+                "Cartesian" not in dcsimple
+                and "NestedLoop" not in dcsimple
+                and "Python" not in dcsimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
