@@ -1481,6 +1481,80 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
+def q_text_quality_funnel(spark, sf_dir):
+    """Quality-filter FUNNEL with per-rule attribution — the accounting a
+    production C4/Gopher-style cleaning pipeline publishes: per lang, how
+    many docs each rule kills, how many any rule kills, and the surviving
+    doc + whitespace-token mass a training run budgets against. Five
+    integer-exact rules (thresholds chosen to discriminate on this
+    corpus; each fires on a distinct permille-to-percent slice):
+
+      too_short     ws tokens < 15
+      too_long      chars > 500
+      no_stopwords  zero English stopword hits
+      low_vocab     distinct words x 20 < words x 7   (ratio < 0.35)
+      mode_heavy    mode-word count x 6 > words       (> 1/6 of the doc)
+
+    Scale shape: every feature is computed INSIDE the doc's word array
+    (array_sort + run-length fold for the mode — the same no-explode
+    discipline as text_repetition), so the scan stays narrow and the
+    only shuffle is the tiny per-lang agg of conditional sums with
+    map-side partials. Per-rule attribution costs nothing extra: the
+    rules share one feature projection instead of five corpus passes."""
+    from extraction.textops import stopword_hits, words
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    proj = d.select(
+        "lang",
+        F.length("text").cast("long").alias("nc"),
+        stopword_hits(F.col("text"), "en").alias("nsw"),
+        F.array_sort(words(F.col("text"))).alias("ws"),
+    )
+    mode_count = F.aggregate(
+        F.col("ws"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    feat = proj.select(
+        "lang",
+        "nc",
+        "nsw",
+        F.size("ws").cast("long").alias("nw"),
+        F.size(F.array_distinct("ws")).cast("long").alias("nd"),
+        mode_count.cast("long").alias("mc"),
+    )
+    kills = {
+        "n_too_short": F.col("nw") < 15,
+        "n_too_long": F.col("nc") > 500,
+        "n_no_stopwords": F.col("nsw") == 0,
+        "n_low_vocab": F.col("nd") * 20 < F.col("nw") * 7,
+        "n_mode_heavy": F.col("mc") * 6 > F.col("nw"),
+    }
+    killed_any = None
+    for cond in kills.values():
+        killed_any = cond if killed_any is None else (killed_any | cond)
+    return feat.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        *[F.sum(c.cast("long")).alias(n) for n, c in kills.items()],
+        F.sum(killed_any.cast("long")).alias("n_killed"),
+        F.sum(F.when(~killed_any, F.col("nw")).otherwise(F.lit(0))).alias(
+            "kept_ws_tokens"
+        ),
+    )
+
+
 def q_asof_last_error(spark, sf_dir):
     """As-of join seat: each click event picks the user's latest error
     event at or before it (null if none). Composed as union-tag + one
@@ -1722,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "text_top_ngrams": q_text_top_ngrams,
         "text_repetition": q_text_repetition,
+        "text_quality_funnel": q_text_quality_funnel,
         "asof_last_error": q_asof_last_error,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,

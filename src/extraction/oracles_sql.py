@@ -1270,6 +1270,52 @@ FROM w LEFT JOIN per USING (doc_id)
 GROUP BY 1
 """
 
+# quality funnel: per-rule kill attribution + survivor mass (mirror of
+# q_text_quality_funnel; same word-count CTE shape as text_repetition)
+ORACLES["text_quality_funnel"] = f"""
+WITH w AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS nc,
+         {_sw_hits("en")} AS nsw,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(ws) AS word FROM w
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM ex GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, SUM(c) AS nw, COUNT(*) AS nd, MAX(c) AS mc
+  FROM wc GROUP BY 1
+), f AS (
+  SELECT w.lang, w.nc, w.nsw,
+         COALESCE(per.nw, 0) AS nw,
+         COALESCE(per.nd, 0) AS nd,
+         COALESCE(per.mc, 0) AS mc
+  FROM w LEFT JOIN per USING (doc_id)
+), k AS (
+  SELECT lang, nw,
+         CASE WHEN nw < 15 THEN 1 ELSE 0 END AS too_short,
+         CASE WHEN nc > 500 THEN 1 ELSE 0 END AS too_long,
+         CASE WHEN nsw = 0 THEN 1 ELSE 0 END AS no_stop,
+         CASE WHEN nd * 20 < nw * 7 THEN 1 ELSE 0 END AS low_vocab,
+         CASE WHEN mc * 6 > nw THEN 1 ELSE 0 END AS mode_heavy
+  FROM f
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(too_short) AS BIGINT) AS n_too_short,
+       CAST(SUM(too_long) AS BIGINT) AS n_too_long,
+       CAST(SUM(no_stop) AS BIGINT) AS n_no_stopwords,
+       CAST(SUM(low_vocab) AS BIGINT) AS n_low_vocab,
+       CAST(SUM(mode_heavy) AS BIGINT) AS n_mode_heavy,
+       CAST(SUM(CASE WHEN too_short + too_long + no_stop + low_vocab
+                          + mode_heavy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_killed,
+       CAST(SUM(CASE WHEN too_short + too_long + no_stop + low_vocab
+                          + mode_heavy = 0 THEN nw ELSE 0 END) AS BIGINT)
+         AS kept_ws_tokens
+FROM k GROUP BY lang
+"""
+
 ORACLES["asof_last_error"] = """
 WITH a AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'

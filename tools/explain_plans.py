@@ -513,6 +513,24 @@ def main() -> int:
         },
     )
 
+    # quality funnel: five rules share ONE in-array feature projection —
+    # no per-word explode, no join; only the per-lang conditional sums
+    # shuffle (map-side partial)
+    qf = se.q_text_quality_funnel(spark, SF_DIR)
+    qfsimple = qf._jdf.queryExecution().executedPlan().toString()
+    check(
+        "text quality_funnel (five rules, one narrow pass, per-lang agg)",
+        plan_of(qf),
+        {
+            "no per-word explode (features in-array)":
+                "Generate" not in qfsimple and "explode" not in qfsimple,
+            "map-side partial agg": "partial_count" in qfsimple
+                or "partial" in qfsimple.lower(),
+            "single shuffle (the lang agg)": qfsimple.count("Exchange") <= 2,
+            "JVM-side end to end": "Python" not in qfsimple,
+        },
+    )
+
     # decontamination: the benchmark shingle set broadcasts as a LEFT SEMI
     # filter over the exploded training shingles — the corpus text never
     # shuffles; only (doc_id) hit rows reach the count's exchange
