@@ -663,6 +663,60 @@ def q_t3_weighted_sample(spark, sf_dir):
     )
 
 
+def q_t7_mixture_sample(spark, sf_dir):
+    """Data-mixture sampler: deterministic per-group Poisson sampling to
+    a TOKEN budget under target mixture weights — the training-mix
+    recipe seat ("50% en, 12.5% each de/es/fr/zh, B tokens total").
+    Per group g the selection rate is min(1, B·w_g / T_g) over the
+    group's whitespace-token mass T_g, realized per doc by the exact
+    integer predicate  u · T_g · den < B · num_g · 2^32  with
+    u = first-8-hex(md5(doc_id‖'mix')) ∈ [0, 2^32) — the same portable
+    pseudo-uniform as t3. Clamping at rate 1 is free: num·B ≥ den·T_g
+    puts the RHS above u's range, selecting everything. decimal(38,0)
+    cross-multiply (HUGEINT in the oracle): no floats, bit-stable.
+
+    Plan shape: one tiny per-lang token-mass agg broadcast back onto
+    the corpus as a |langs|-row join, then a NARROW filter — no global
+    sort, no window, no cumsum inversion funneling 100 TB through one
+    ordered task. Expected-vs-achieved mass per group is binomial
+    sampling noise, the trade a production mixer makes for a plan
+    whose only wide op is a 5-group agg."""
+    from extraction.textops import token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    budget, den, two32 = 8000, 8, 4294967296
+    weights = {"de": 1, "en": 4, "es": 1, "fr": 1, "zh": 1}  # num / 8
+    wtab = spark.createDataFrame(
+        sorted(weights.items()), "lang string, num long"
+    )
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        token_count_ws(F.col("text")).alias("nt"),
+    )
+    tot = base.groupBy("lang").agg(F.sum("nt").alias("t_g"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("mix"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        base.join(F.broadcast(tot), "lang")
+        .join(F.broadcast(wtab), "lang")
+        .filter(
+            dec(u) * dec(F.col("t_g")) * dec(F.lit(den))
+            < dec(F.lit(budget)) * dec(F.col("num")) * dec(F.lit(two32))
+        )
+        .select("doc_id", "lang", "nt")
+    )
+
+
 def q_s5_frag_reassemble(spark, sf_dir):
     """S5 order-preserving reassembly, batch form of the streaming
     fragment assembler (src/extraction/streaming.py; reference analog:
@@ -1797,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": q_text_top_ngrams,
         "text_repetition": q_text_repetition,
         "text_quality_funnel": q_text_quality_funnel,
+        "t7_mixture_sample": q_t7_mixture_sample,
         "asof_last_error": q_asof_last_error,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,

@@ -501,6 +501,27 @@ SELECT doc_id, weight, in_weighted, in_uniform
 FROM scored WHERE in_weighted = 1 OR in_uniform = 1
 """
 
+# data-mixture sampler: per-lang Poisson to a token budget (mirror of
+# q_t7_mixture_sample; same u32 convention as t3, HUGEINT cross-multiply)
+ORACLES["t7_mixture_sample"] = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+              AS BIGINT) AS nt
+  FROM documents
+), tot AS (
+  SELECT lang, CAST(SUM(nt) AS HUGEINT) AS t_g FROM d GROUP BY lang
+), w AS (
+  SELECT * FROM (VALUES ('de', 1), ('en', 4), ('es', 1), ('fr', 1), ('zh', 1))
+    AS t(lang, num)
+)
+SELECT d.doc_id AS doc_id, d.lang AS lang, d.nt AS nt
+FROM d JOIN tot USING (lang) JOIN w USING (lang)
+WHERE CAST(CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), 'mix')), 1, 8)) AS BIGINT) AS HUGEINT)
+        * t_g * CAST(8 AS HUGEINT)
+      < CAST(8000 AS HUGEINT) * CAST(num AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+"""
+
 ORACLES["t5_group_split"] = """
 SELECT CAST(CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT) % 3 AS BIGINT) AS split,
        COUNT(*) AS n_docs,

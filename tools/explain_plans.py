@@ -513,6 +513,25 @@ def main() -> int:
         },
     )
 
+    # mixture sampler: per-lang token-mass agg broadcasts back as a 5-row
+    # join; selection is a narrow exact-integer filter — no global sort,
+    # no window, no cumsum inversion
+    ms = se.q_t7_mixture_sample(spark, SF_DIR)
+    ms.collect()  # AQE final plan
+    mssimple = ms._jdf.queryExecution().executedPlan().toString()
+    check(
+        "t7 mixture_sample (broadcast rates -> narrow integer filter)",
+        plan_of(ms),
+        {
+            "rate tables broadcast (corpus never shuffles for selection)":
+                "BroadcastHashJoin" in mssimple,
+            "no global sort / window / cumsum funnel":
+                "Window" not in mssimple and "Sort [" not in mssimple,
+            "no cartesian / nested-loop": "Cartesian" not in mssimple
+                and "NestedLoop" not in mssimple,
+        },
+    )
+
     # quality funnel: five rules share ONE in-array feature projection —
     # no per-word explode, no join; only the per-lang conditional sums
     # shuffle (map-side partial)
