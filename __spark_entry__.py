@@ -962,6 +962,29 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: which docs of a NEW batch near-dup the
+    EXISTING corpus (even-doc_id half = existing, odd = incoming batch).
+    The production crawl-ingest shape: the candidate band join is
+    NEW × EXISTING — never existing × existing — so daily ingest pays
+    |batch| × signature work, not a corpus self-join. See
+    dedup.incremental_neardup_matches."""
+    from extraction.dedup import incremental_neardup_matches
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    m = incremental_neardup_matches(
+        existing, incoming, "text", "doc_id", k=3, perms=16, bands=4,
+        threshold_num=1, threshold_den=2,
+    )
+    return m.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("first_match").cast("long").alias("first_match"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )
+
+
 def q_dedup_clean_corpus(spark, sf_dir):
     """The dedup pipeline's SHIPPED artifact: the cleaned corpus. Composes
     the whole funnel end to end — LSH candidates → exact-Jaccard verify →
@@ -1863,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_overlap": q_dedup_winnow_overlap,
         "dedup_clean_corpus": q_dedup_clean_corpus,
         "dedup_decontaminate": q_dedup_decontaminate,
+        "dedup_incremental": q_dedup_incremental,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

@@ -91,6 +91,43 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _lsh_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(id, band, bsig) banded-signature table — the join key of every
+    MinHash-LSH tier (self-join for in-corpus dedup, two-table join for
+    incremental ingest). Carries the two load-bearing disciplines
+    documented on minhash_lsh_candidates: the degenerate-doc guard
+    BEFORE the signature projection, and signature materialization
+    (localCheckpoint) so join planning can't re-run the text pass."""
+    rows = perms // bands
+    sig = df.filter(
+        F.size(words(normalize_text(F.col(text_col)))) >= F.lit(k)
+    ).select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k, perms).alias("sig"),
+    ).localCheckpoint(eager=False)
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * rows + 1, rows).cast("array<long>").alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", F.col("bs.bsig").cast("string").alias("bsig"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -130,27 +167,7 @@ def minhash_lsh_candidates(
     non-replicated blocks trade lineage-recovery for never recomputing
     the text pass — exactly the table-materialization trade).
     """
-    rows = perms // bands
-    sig = df.filter(
-        F.size(words(normalize_text(F.col(text_col)))) >= F.lit(k)
-    ).select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), k, perms).alias("sig"),
-    ).localCheckpoint(eager=False)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice("sig", b * rows + 1, rows).cast("array<long>").alias("bsig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "bs.band", F.col("bs.bsig").cast("string").alias("bsig"))
+    banded = _lsh_banded(df, text_col, id_col, k, perms, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -452,6 +469,66 @@ def lsh_verified_pairs(
     return scored.filter(
         F.col("inter") * threshold_den
         >= (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")) * threshold_num
+    )
+
+
+def incremental_neardup_matches(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Incremental-ingest dedup: incoming docs that near-dup ANY doc in
+    the existing corpus — the production crawl-ingest shape. Self-dedup
+    reruns over the whole corpus; ingest must answer "is this NEW batch
+    redundant against what we already hold" without re-pairing the
+    existing corpus with itself.
+
+    Returns (id, first_match, n_matches) per matched incoming doc:
+    the lowest matching existing id and how many existing docs clear
+    the Jaccard threshold. Ids of the two sides must be disjoint.
+
+    Scale shape: both sides band through the shared ``_lsh_banded``
+    signature table, and the candidate join is NEW × EXISTING (never
+    EXISTING × EXISTING — the n²-shaped work the incremental form
+    exists to avoid; a daily batch is permille of the corpus, so the
+    band shuffle is dominated by the existing side's signatures, which
+    a production pipeline keeps materialized between ingests — the
+    localCheckpoint in _lsh_banded is the single-session analog).
+    Verification reuses the semi-join-pruned ``verify_candidates`` over
+    the two-sided union, so shingles are recomputed only for docs that
+    appear in some candidate pair."""
+    nb = _lsh_banded(incoming, text_col, id_col, k, perms, bands)
+    eb = _lsh_banded(existing, text_col, id_col, k, perms, bands)
+    cands = (
+        nb.alias("n")
+        .join(
+            eb.alias("e"),
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.bsig") == F.col("e.bsig")),
+        )
+        .select(F.col("n.id").alias("id_a"), F.col("e.id").alias("id_b"))
+        .distinct()
+    )
+    both = existing.select(F.col(id_col), F.col(text_col)).unionByName(
+        incoming.select(F.col(id_col), F.col(text_col))
+    )
+    scored = verify_candidates(both, cands, text_col, id_col, k)
+    return (
+        scored.filter(
+            F.col("inter") * threshold_den
+            >= (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")) * threshold_num
+        )
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(
+            F.min("id_b").alias("first_match"),
+            F.count("*").alias("n_matches"),
+        )
     )
 
 

@@ -737,6 +737,48 @@ FROM scored
 WHERE inter * 2 >= (nsh_a + nsh_b - inter) * 1
 """
 
+# incremental ingest: even doc_ids = existing corpus, odd = incoming
+# batch; band joins are NEW x EXISTING (no a<b constraint — sides are
+# disjoint), then the exact-Jaccard verify and a per-incoming-doc agg
+_LSH_JOINS_INC = "\nUNION\n".join(
+    "SELECT n.doc_id AS id_a, e.doc_id AS id_b FROM sig_n n JOIN sig_e e"
+    " ON " + " AND ".join(f"n.mh{4 * b_ + r} = e.mh{4 * b_ + r}" for r in range(4))
+    for b_ in range(4)
+)
+ORACLES["dedup_incremental"] = f"""
+WITH {_NORM_WORDS_CTE[1:]},
+{_WS_CTE[1:]},
+sh AS (
+  SELECT doc_id, {_shingles_expr(3)} AS shingles FROM wsed
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hashes
+  FROM sh
+), sig AS (
+  SELECT doc_id, {_MH16} FROM hashed WHERE len(hashes) > 0
+), sig_n AS (
+  SELECT * FROM sig WHERE doc_id % 2 = 1
+), sig_e AS (
+  SELECT * FROM sig WHERE doc_id % 2 = 0
+), pairs AS (
+{_LSH_JOINS_INC}
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS BIGINT) AS inter,
+         CAST(len(sa.shingles) AS BIGINT) AS nsh_a,
+         CAST(len(sb.shingles) AS BIGINT) AS nsh_b
+  FROM pairs p
+  JOIN sh sa ON p.id_a = sa.doc_id
+  JOIN sh sb ON p.id_b = sb.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id,
+       CAST(MIN(id_b) AS BIGINT) AS first_match,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM scored
+WHERE inter * 2 >= (nsh_a + nsh_b - inter) * 1
+GROUP BY id_a
+"""
+
 # connected components over the verified near-dup pairs: min-label
 # reachability via recursive CTE (the UNION dedups (id, comp) states, so
 # the recursion enumerates each reachable label once and terminates);

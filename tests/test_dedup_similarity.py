@@ -259,3 +259,29 @@ def test_decontaminate_empty_benchmark_flags_nothing(spark):
     bench = _docs(spark, [(100, "xx")])  # < k words: empty shingle set
     train = _docs(spark, [(0, "the quick brown fox ran")])
     assert decontaminate_hits(train, bench, "text", "id", k=3).count() == 0
+
+
+# --- incremental-ingest dedup (NEW x EXISTING, never EXISTING x EXISTING) ---
+
+def test_incremental_matches_only_cross_side(spark):
+    from extraction.dedup import incremental_neardup_matches
+
+    existing = _docs(spark, [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup INSIDE existing
+        (4, "totally different words compose this other document here"),
+    ])
+    incoming = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dups 0 and 2
+        (3, "unrelated fresh content entirely novel text stream"),  # no match
+        (5, ""),                                               # degenerate
+    ])
+    got = {
+        r.id: (r.first_match, r.n_matches)
+        for r in incremental_neardup_matches(
+            existing, incoming, "text", "id", k=3, perms=16, bands=4
+        ).collect()
+    }
+    # only the incoming near-dup appears; the existing-side dup pair (0,2)
+    # must NOT surface — that's self-dedup's job, not ingest's
+    assert got == {1: (0, 2)}

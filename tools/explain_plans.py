@@ -513,6 +513,23 @@ def main() -> int:
         },
     )
 
+    # incremental ingest: NEW x EXISTING band join over the shared banded
+    # signature tables; verify is the semi-join-pruned shared stage
+    inc = se.q_dedup_incremental(spark, SF_DIR)
+    inc.collect()  # AQE final plan
+    incsimple = inc._jdf.queryExecution().executedPlan().toString()
+    check(
+        "dedup incremental (NEW x EXISTING band join, pruned verify)",
+        plan_of(inc),
+        {
+            "band join keys on the signature slice (equi, not cartesian)":
+                "bsig" in incsimple and "Cartesian" not in incsimple
+                and "NestedLoop" not in incsimple,
+            "verify side is broadcast-pruned":
+                "BroadcastHashJoin" in incsimple and "LeftSemi" in incsimple,
+        },
+    )
+
     # mixture sampler: per-lang token-mass agg broadcasts back as a 5-row
     # join; selection is a narrow exact-integer filter — no global sort,
     # no window, no cumsum inversion
