@@ -1801,6 +1801,38 @@ def q_extract_kind_stats(spark, sf_dir):
 # driver contract
 # ---------------------------------------------------------------------------
 
+def q_dedup_passages(spark, sf_dir):
+    """Passage-level exact dedup, first occurrence wins — the CCNet
+    paragraph-dedup shape over 6-word passages (no newlines in the
+    synthetic corpus, so a fixed word window stands in for the
+    paragraph split). One min-struct agg elects survivors (map-side
+    combine collapses boilerplate before the wire — no keeper-table
+    join, no skewed join key), one groupBy reassembles document order;
+    kept_fp witnesses the order-preserving reassembly. See
+    dedup.passage_dedup_stats."""
+    from extraction.dedup import passage_dedup_stats
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    return passage_dedup_stats(d, "text", "doc_id")
+
+
+def q_emb_kmeans(spark, sf_dir):
+    """Integer-exact quantized Lloyd k-means (k=4, 2 iterations) over
+    the embeddings table — corpus clustering for mixture balancing /
+    per-cluster dedup. Every value lives on a 2^14 integer grid, so
+    assignment, centroid update, and WCSS are associative int64
+    arithmetic: bit-identical across partitionings and engines (float
+    means would be order-dependent). Assignment is a broadcast-packed
+    argmin fold (the ivf_join O(1)-plan form); the update is a
+    map-side-combinable 64-column integer sum; the driver holds only
+    the k-row model between iterations — MLlib's own KMeans loop
+    shape. See cluster.kmeans_quantized."""
+    from extraction.cluster import kmeans_quantized
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    return kmeans_quantized(e, "embedding", "vec_id", k=4, iters=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full extraction pipeline."""
     return q_extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -1887,6 +1919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clean_corpus": q_dedup_clean_corpus,
         "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_passages": q_dedup_passages,
+        "emb_kmeans": q_emb_kmeans,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

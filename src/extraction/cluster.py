@@ -1,0 +1,178 @@
+"""Corpus clustering: integer-exact quantized Lloyd k-means over the
+embedding column.
+
+The training-data use case: partition a web-scale corpus into topical
+clusters (for mixture balancing, per-cluster dedup, or curriculum
+ordering) without an external ML library. Reference analog: the
+model-artifact seat (/root/reference/src/DocumentAnalyzer.py:45-46) —
+a small learned model drives a per-row assignment; here the "model" is
+the centroid table, re-fit by the job itself.
+
+Why QUANTIZED: Lloyd's update is a float mean, and float summation is
+order-dependent — a distributed sum would diverge from any serial
+oracle bit-for-bit. Every value is therefore snapped to an integer grid
+(floor(x * 2^14); exact: a float32 scaled by a power of two is exact in
+double) and all distances/sums stay in int64, so assignment, update,
+and WCSS are associative integer arithmetic — identical on Spark,
+DuckDB, and pure Python regardless of partitioning or visit order.
+Centroid means round to the grid via exact floor division (the
+euclidean-mod formula, identical semantics in Spark/DuckDB/Python).
+
+Scale shape per iteration:
+- assignment: centroids broadcast as ONE packed array<struct> row
+  (same O(1)-plan trick as similarity.ivf_join_topk); per-point argmin
+  is a narrow fold — the corpus never shuffles for assignment;
+- update: groupBy(cluster) with 64 per-dimension integer SUM columns —
+  map-side partial aggregation collapses each partition to ≤k rows, so
+  the shuffle moves O(k · dims · partitions), not O(points);
+- driver state: k centroid rows collect per iteration (model-sized,
+  like MLlib's own KMeans driver loop and the IVF centroid load).
+
+Bounds (documents the int64 headroom): |x| ≤ 2 → |q| ≤ 2^15; per-dim
+squared diff ≤ 2^32; 64 dims ≤ 2^38 per pair; WCSS over 10^9 points
+≤ 2^68 would overflow — WCSS is summed per CLUSTER (count ≤ n), so at
+true 100 TB scale sum dist as DECIMAL(38,0) or per-cluster double; at
+any per-cluster count ≤ 2^24 it is exact int64. Grid 2^14 keeps the
+update sums (≤ 2^15 · n_cluster) exact far past 10^12 points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GRID = 16384  # 2^14 quantization grid
+
+
+def quantize_vec(vec: Column, grid: int = GRID) -> Column:
+    """array<float> -> array<long> on the integer grid (exact: see module
+    docstring)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(grid))).cast("long")
+    )
+
+
+def _floor_div(s: int, c: int) -> int:
+    """Exact floor division for possibly-negative sums (Python // is
+    already floor division; spelled out to mirror the SQL oracle's
+    (s - ((s % c) + c) % c) / c euclidean form)."""
+    return s // c
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """Quantized Lloyd k-means; returns per-cluster final stats.
+
+    Init: the k points with the lowest ids (deterministic, no RNG).
+    Each iteration: broadcast-packed argmin assignment (ties -> lowest
+    cid), then integer-mean centroid update; clusters that receive no
+    points keep their previous centroid. After ``iters`` updates, one
+    final assignment pass emits (cluster, n_points, wcss,
+    centroid_digest) where wcss = Σ squared grid distance to the
+    assigned centroid and centroid_digest = Σ mv[d]·(d+1) — a compact
+    value-bearing witness of the final centroid table.
+    """
+    spark = df.sparkSession
+    # quantize once; localCheckpoint so iteration i doesn't replay the
+    # scan+quantize of iterations 1..i-1 (same lineage-truncation
+    # discipline as dedup._lsh_banded)
+    pts = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+    ).localCheckpoint(eager=False)
+
+    seeds = pts.filter(F.col("id") < k).collect()
+    cents: dict[int, list[int]] = {int(r["id"]): list(r["qv"]) for r in seeds}
+    if len(cents) < k:
+        raise ValueError(f"need ids 0..{k - 1} present for deterministic init")
+
+    def packed_cents() -> DataFrame:
+        cdf = spark.createDataFrame(
+            sorted(cents.items()), schema="cid long, mv array<long>"
+        )
+        return F.broadcast(
+            cdf.agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("cid"), F.col("mv")))
+                ).alias("__cents")
+            )
+        )
+
+    def assigned() -> DataFrame:
+        # argmin fold over the packed (sorted-by-cid) centroid array:
+        # strict < keeps the lowest cid on distance ties. Distance is
+        # computed ONCE per centroid inside the transform (no CSE
+        # across higher-order functions — the house rule).
+        scored = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), c["mv"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(1 << 62).cast("long").alias("dist"),
+                F.lit(-1).cast("long").alias("cid"),
+            ),
+            lambda a, s: F.struct(
+                F.when(s["dist"] < a["dist"], s["dist"]).otherwise(a["dist"]).alias("dist"),
+                F.when(s["dist"] < a["dist"], s["cid"]).otherwise(a["cid"]).alias("cid"),
+            ),
+        )
+        # let-bind the fold in its own projection, then read the two
+        # fields from the bound column: referencing best[...] twice in
+        # one select would plant the whole fold tree twice (CollapseProject
+        # keeps the two-step form because the fold is not cheap)
+        return (
+            pts.crossJoin(packed_cents())
+            .select("id", "qv", best.alias("__b"))
+            .select(
+                "id",
+                "qv",
+                F.col("__b.cid").alias("cl"),
+                F.col("__b.dist").alias("dist"),
+            )
+        )
+
+    for _ in range(iters):
+        sums = (
+            assigned()
+            .groupBy("cl")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
+                    for d in range(dims)
+                ],
+            )
+        ).collect()
+        for r in sums:
+            n = int(r["n"])
+            cents[int(r["cl"])] = [_floor_div(int(r[f"s{d}"]), n) for d in range(dims)]
+
+    digests = spark.createDataFrame(
+        [(cid, sum(m * (d + 1) for d, m in enumerate(mv))) for cid, mv in sorted(cents.items())],
+        schema="cl long, centroid_digest long",
+    )
+    final = assigned().groupBy("cl").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("dist").cast("long").alias("wcss"),
+    )
+    return final.join(F.broadcast(digests), "cl").select(
+        F.col("cl").cast("long").alias("cluster"),
+        "n_points",
+        "wcss",
+        "centroid_digest",
+    )

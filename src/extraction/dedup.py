@@ -761,3 +761,111 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (the CCNet paragraph-dedup shape)
+# ---------------------------------------------------------------------------
+
+PASSAGE_WORDS = 6  # test-scale window; production uses ~50-200 words
+
+
+def passage_table(col: Column, passage_words: int = PASSAGE_WORDS) -> Column:
+    """Non-overlapping ``passage_words``-word passages of the normalized
+    text, in document order (array<string>; the last passage may be
+    short). The passage is this engine's paragraph surrogate — the
+    synthetic corpus has no newlines, and a fixed word window is the
+    deterministic stand-in for CCNet's paragraph split.
+
+    Let-binds the words array (single-element transform) so the
+    normalize+split subtree evaluates once per row on every path —
+    the interpreted-HOF no-CSE rule (see word_shingles_seq).
+    """
+    p = passage_words
+
+    def chain(w_: Column) -> Column:
+        # exact ceil(n / p): double division of small exact ints —
+        # quotient granularity 1/p dwarfs rounding error
+        npass = F.floor((F.size(w_) + F.lit(p - 1)) / F.lit(p)).cast("int")
+        return F.when(
+            F.size(w_) > 0,
+            F.transform(
+                F.sequence(F.lit(0), npass - 1),
+                lambda i: F.concat_ws(" ", F.slice(w_, i * p + 1, p)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(words(normalize_text(col))), chain), 1)
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    passage_words: int = PASSAGE_WORDS,
+) -> DataFrame:
+    """Corpus-wide passage-level EXACT dedup, first occurrence wins
+    (CCNet's paragraph dedup: arXiv:1911.00359 §3 drops every repeated
+    paragraph by hash; here a passage survives only at its globally
+    first (doc_id, pos) site — boilerplate headers/footers vanish from
+    all later documents).
+
+    Returns one row per doc: (id, n_passages, n_kept, kept_fp) where
+    kept_fp is md5 of the surviving passages re-joined in document
+    order — a value-bearing witness that reassembly preserved order.
+
+    Scale shape (the part CCNet does with a cluster-wide hash table):
+    - ONE shuffle elects survivors: groupBy(passage_fp) with
+      min(struct(id, pos, passage)) — map-side partial aggregation
+      collapses every partition's duplicate instances before the wire,
+      so a boilerplate passage repeated 10^9 times ships O(partitions)
+      rows, not 10^9 (no join against a keeper table, hence no skewed
+      join key; the min-struct carries the payload out of the agg).
+    - ONE shuffle reassembles: groupBy(id) + array_sort(collect_list)
+      — the s5 distributed-order-restoration idiom.
+    - The passages array is built once and MATERIALIZED before the
+      explode (interpreted Generate paths re-evaluate HOF-built arrays;
+      the localCheckpoint is the same discipline as the minhash
+      signature table).
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        passage_table(F.col(text_col), passage_words).alias("ps"),
+    ).localCheckpoint(eager=False)
+
+    ex = base.select("id", F.posexplode("ps").alias("pos", "passage")).select(
+        "id", "pos", "passage", F.md5("passage").alias("fp")
+    )
+    survivors = ex.groupBy("fp").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"), F.col("passage"))).alias("k")
+    )
+    perdoc = (
+        survivors.select(
+            F.col("k.id").alias("id"),
+            F.col("k.pos").alias("pos"),
+            F.col("k.passage").alias("passage"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "passage"))),
+                        lambda s: s["passage"],
+                    ),
+                )
+            ).alias("kept_fp"),
+        )
+    )
+    return (
+        base.select("id", F.size("ps").cast("long").alias("n_passages"))
+        .join(perdoc, "id", "left")
+        .select(
+            "id",
+            "n_passages",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
+        )
+    )

@@ -1491,3 +1491,115 @@ SELECT user_id,
        page_w
 FROM parsed, UNNEST(list_zip(ids, pts)) AS u(z)
 """
+
+
+# passage-level exact dedup (dedup.passage_dedup_stats): 6-word
+# non-overlapping passages of the normalized text; first (doc_id, pos)
+# occurrence of each md5 fingerprint survives; kept_fp = md5 of the
+# survivors re-joined in document order
+ORACLES["dedup_passages"] = f"""
+WITH {_NORM_WORDS_CTE[1:]},
+{_WS_CTE[1:]},
+pl AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0 THEN
+           list_transform(range(0, CAST(ceil(len(ws) / 6.0) AS BIGINT)),
+                          i -> array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS ps
+  FROM wsed
+), ex AS (
+  SELECT doc_id,
+         unnest(range(0, len(ps))) AS pos,
+         unnest(ps) AS passage
+  FROM pl
+), ranked AS (
+  SELECT doc_id, pos, passage,
+         ROW_NUMBER() OVER (PARTITION BY md5(passage)
+                            ORDER BY doc_id, pos) AS rn
+  FROM ex
+), perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(passage, ' ' ORDER BY pos)) AS kept_fp
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS id,
+       CAST(len(p.ps) AS BIGINT) AS n_passages,
+       CAST(COALESCE(d.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(d.kept_fp, md5('')) AS kept_fp
+FROM pl p LEFT JOIN perdoc d ON p.doc_id = d.doc_id
+"""
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, dims: int = 64, grid: int = 16384) -> str:
+    """Unrolled quantized-Lloyd SQL mirror of cluster.kmeans_quantized:
+    assignment by integer squared distance (ties -> lowest cid), centroid
+    update by exact euclidean floor division, empty clusters keep their
+    previous centroid. All arithmetic int64 — bit-identical to Spark."""
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> (p.qv[i] - c.mv[i]) * (p.qv[i] - c.mv[i]))) AS BIGINT)"
+    )
+    sums = ",\n         ".join(
+        f"CAST(SUM(qv[{d + 1}]) AS BIGINT) AS s{d}" for d in range(dims)
+    )
+    mean = ", ".join(
+        f"CAST((s.s{d} - ((s.s{d} % s.n) + s.n) % s.n) / s.n AS BIGINT)"
+        for d in range(dims)
+    )
+    ctes = [
+        f"""pts AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {grid}) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        f"""cents0 AS (
+  SELECT vec_id AS cid, qv AS mv FROM pts WHERE vec_id < {k}
+)""",
+    ]
+    for t in range(iters):
+        ctes.append(f"""d{t} AS (
+  SELECT p.vec_id, p.qv, c.cid, {dist} AS dist
+  FROM pts p CROSS JOIN cents{t} c
+), a{t} AS (
+  SELECT vec_id, qv, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d{t}
+), s{t} AS (
+  SELECT cid AS cl, COUNT(*) AS n,
+         {sums}
+  FROM a{t} WHERE rn = 1 GROUP BY cid
+), cents{t + 1} AS (
+  SELECT c.cid,
+         CASE WHEN s.n IS NULL THEN c.mv
+              ELSE list_value({mean}) END AS mv
+  FROM cents{t} c LEFT JOIN s{t} s ON s.cl = c.cid
+)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+dF AS (
+  SELECT p.vec_id, c.cid, {dist} AS dist
+  FROM pts p CROSS JOIN cents{iters} c
+), aF AS (
+  SELECT vec_id, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM dF
+), fin AS (
+  SELECT cid, COUNT(*) AS n_points, SUM(dist) AS wcss
+  FROM aF WHERE rn = 1 GROUP BY cid
+), dig AS (
+  SELECT cid,
+         CAST(list_sum(list_transform(range(1, {dims + 1}), i -> mv[i] * i)) AS BIGINT)
+           AS centroid_digest
+  FROM cents{iters}
+)
+SELECT CAST(f.cid AS BIGINT) AS cluster,
+       CAST(f.n_points AS BIGINT) AS n_points,
+       CAST(f.wcss AS BIGINT) AS wcss,
+       g.centroid_digest
+FROM fin f JOIN dig g ON f.cid = g.cid
+"""
+
+
+ORACLES["emb_kmeans"] = _kmeans_oracle()

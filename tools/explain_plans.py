@@ -589,6 +589,54 @@ def main() -> int:
         },
     )
 
+    # passage dedup: survivor election is ONE min-struct agg with
+    # map-side partial combine (boilerplate collapses before the wire —
+    # no keeper-table join, so no skewed join key exists at all);
+    # reassembly is the s5 collect_list+array_sort idiom
+    pp = se.q_dedup_passages(spark, SF_DIR)
+    pp.collect()  # AQE final plan
+    ppsimple = pp._jdf.queryExecution().executedPlan().toString()
+    check(
+        "dedup passages (min-struct survivor agg, ordered reassembly)",
+        plan_of(pp),
+        {
+            "survivor election has map-side partial agg (partial_min)":
+                "partial_min" in ppsimple,
+            "no keeper-table self-join on the passage fingerprint":
+                "SortMergeJoin" not in ppsimple,
+            "no cartesian / nested-loop / Python in the hot path":
+                "Cartesian" not in ppsimple
+                and "NestedLoop" not in ppsimple
+                and "Python" not in ppsimple,
+        },
+    )
+
+    # quantized k-means: assignment is a broadcast-packed argmin fold
+    # (corpus never shuffles to be assigned); the centroid update's
+    # 64-dim integer sums combine map-side
+    from extraction.cluster import kmeans_quantized
+
+    km = kmeans_quantized(
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")),
+        "embedding", "vec_id", k=4, iters=1,
+    )
+    km.collect()  # AQE final plan (also runs the driver iteration)
+    kmsimple = km._jdf.queryExecution().executedPlan().toString()
+    check(
+        "emb kmeans (broadcast-packed assignment, map-side integer sums)",
+        plan_of(km),
+        {
+            "centroids reach points via broadcast (points never shuffle "
+            "for assignment)": "Broadcast" in kmsimple,
+            "update sums combine map-side (partial_sum)":
+                "partial_sum" in kmsimple or "partial_count" in kmsimple,
+            "no sort-merge join / cartesian / Python in the hot path":
+                "SortMergeJoin" not in kmsimple
+                and "Cartesian" not in kmsimple
+                and "Python" not in kmsimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
