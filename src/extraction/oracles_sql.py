@@ -1603,3 +1603,45 @@ FROM fin f JOIN dig g ON f.cid = g.cid
 
 
 ORACLES["emb_kmeans"] = _kmeans_oracle()
+
+
+# S7 JSONL round-trip: the Spark query writes the corpus as line-JSON,
+# reads it back with a declared schema, and aggregates; the oracle
+# computes the identical aggregate straight from the documents table —
+# equality proves byte-exact text survival through JSON escape/unescape
+_WS_COUNT = r"CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT)"
+ORACLES["s7_jsonl_roundtrip"] = f"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM({_WS_COUNT}) AS BIGINT) AS ws_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id,
+       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 2147483647)
+            AS BIGINT) AS text_checksum
+FROM documents
+GROUP BY lang, source
+"""
+
+# exact type-1 per-lang length quantiles: value at rank
+# floor(pct * (n-1) / 100) + 1 of the (n_tokens, doc_id) order —
+# integer index arithmetic, no interpolation float
+ORACLES["text_length_quantiles"] = f"""
+WITH d AS (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         {_WS_COUNT} AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT lang, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn
+  FROM d
+), counts AS (
+  SELECT lang, COUNT(*) AS n FROM d GROUP BY lang
+), targets AS (
+  SELECT c.lang, p.pct,
+         CAST(floor(p.pct * (c.n - 1) / 100) + 1 AS BIGINT) AS target
+  FROM counts c CROSS JOIN (VALUES (25), (50), (75), (90)) AS p(pct)
+)
+SELECT r.lang, CAST(t.pct AS BIGINT) AS pct, CAST(r.n_tokens AS BIGINT) AS n_tokens
+FROM ranked r JOIN targets t ON r.lang = t.lang AND r.rn = t.target
+"""
