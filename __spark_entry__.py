@@ -1833,6 +1833,25 @@ def q_emb_kmeans(spark, sf_dir):
     return kmeans_quantized(e, "embedding", "vec_id", k=4, iters=2)
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    with the k-means cluster id as the blocking key — compare only
+    within clusters, exact cosine >= 0.4 decided integer-exactly
+    (dot²·den² >= num²·|a|²·|b|² in decimal(38,0); no float cosine,
+    no sqrt). The learned-blocks complement of the fixed sign-LSH
+    blocking in dedup_embedding_cosine: at corpus scale k ~
+    n/target_block bounds the within-cluster pair work (SemDeDup used
+    50k clusters on LAION); assignment is the broadcast-packed argmin
+    so the corpus never shuffles to be blocked. See
+    cluster.semantic_near_pairs."""
+    from extraction.cluster import semantic_near_pairs
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    return semantic_near_pairs(
+        e, "embedding", "vec_id", k=4, iters=2, threshold_num=2, threshold_den=5
+    )
+
+
 def q_s7_jsonl_roundtrip(spark, sf_dir):
     """JSONL sink + source round-trip — the training-data interchange
     format (every public corpus ships as JSONL). The corpus is written
@@ -1987,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_passages": q_dedup_passages,
         "emb_kmeans": q_emb_kmeans,
+        "dedup_semantic": q_dedup_semantic,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

@@ -59,24 +59,25 @@ def _floor_div(s: int, c: int) -> int:
     return s // c
 
 
-def kmeans_quantized(
+def kmeans_assign(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 4,
     iters: int = 2,
     dims: int = 64,
-) -> DataFrame:
-    """Quantized Lloyd k-means; returns per-cluster final stats.
+) -> tuple[DataFrame, dict[int, list[int]]]:
+    """Fit quantized Lloyd k-means and return the FINAL per-point
+    assignment: (DataFrame(id, qv, cl, dist), final centroid dict).
 
     Init: the k points with the lowest ids (deterministic, no RNG).
     Each iteration: broadcast-packed argmin assignment (ties -> lowest
     cid), then integer-mean centroid update; clusters that receive no
-    points keep their previous centroid. After ``iters`` updates, one
-    final assignment pass emits (cluster, n_points, wcss,
-    centroid_digest) where wcss = Σ squared grid distance to the
-    assigned centroid and centroid_digest = Σ mv[d]·(d+1) — a compact
-    value-bearing witness of the final centroid table.
+    points keep their previous centroid. The returned DataFrame is the
+    lazy final-assignment plan (narrow over the checkpointed quantized
+    points — callers that consume it more than once should
+    localCheckpoint it first, same discipline as dedup's signature
+    tables).
     """
     spark = df.sparkSession
     # quantize once; localCheckpoint so iteration i doesn't replay the
@@ -162,11 +163,32 @@ def kmeans_quantized(
             n = int(r["n"])
             cents[int(r["cl"])] = [_floor_div(int(r[f"s{d}"]), n) for d in range(dims)]
 
+    return assigned(), cents
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """Quantized Lloyd k-means; returns per-cluster final stats.
+
+    One final assignment pass emits (cluster, n_points, wcss,
+    centroid_digest) where wcss = Σ squared grid distance to the
+    assigned centroid and centroid_digest = Σ mv[d]·(d+1) — a compact
+    value-bearing witness of the final centroid table.
+    """
+    spark = df.sparkSession
+    asg, cents = kmeans_assign(df, vec_col, id_col, k=k, iters=iters, dims=dims)
+
     digests = spark.createDataFrame(
         [(cid, sum(m * (d + 1) for d, m in enumerate(mv))) for cid, mv in sorted(cents.items())],
         schema="cl long, centroid_digest long",
     )
-    final = assigned().groupBy("cl").agg(
+    final = asg.groupBy("cl").agg(
         F.count("*").cast("long").alias("n_points"),
         F.sum("dist").cast("long").alias("wcss"),
     )
@@ -175,4 +197,98 @@ def kmeans_quantized(
         "n_points",
         "wcss",
         "centroid_digest",
+    )
+
+
+def semantic_near_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means clusters
+    as the blocking key, exact cosine >= num/den within each cluster.
+
+    The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
+    the embedding space, then compare points ONLY within their cluster
+    — the cluster id plays exactly the role the sign-LSH bucket plays
+    in dedup.embedding_near_dups, but the blocks are learned from the
+    data instead of fixed random hyperplanes, so semantically-close
+    pairs co-locate even when no hyperplane pattern would bucket them
+    together. Recall is bounded by the clustering (a near-dup pair
+    split across a centroid boundary is never compared) — the same
+    measured-not-assumed caveat as BENCH/DEDUP_RECALL.md's blocking
+    curve.
+
+    Integer-exact threshold test (no float cosine, no sqrt): for
+    t = num/den > 0,   cos(a,b) >= t
+      <=>  dot > 0  AND  dot² · den² >= num² · |a|² · |b|²
+    over the 2^14-grid quantized vectors. dot² <= 2^72 overflows
+    int64, so the comparison runs in decimal(38,0) (DuckDB mirror:
+    HUGEINT) — exact at any num/den <= 10^3. Zero-norm vectors fail
+    dot > 0 and never pair (same guard rule as similarity.cosine).
+
+    Scale shape: assignment is the broadcast-packed argmin (corpus
+    never shuffles to be assigned); the pair stage shuffles (cl, qv,
+    n2) once and self-joins within clusters — at corpus scale k is
+    the knob that bounds cluster size (SemDeDup used 50k clusters on
+    LAION; k ~ n/target_block makes the within-block work linear).
+    The assignment table is localCheckpoint-ed so the self-join does
+    not replay the Lloyd iterations twice (house discipline, see
+    dedup._lsh_banded).
+    """
+    asg, _ = kmeans_assign(df, vec_col, id_col, k=k, iters=iters, dims=dims)
+    feat = asg.select(
+        "id",
+        "cl",
+        "qv",
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("n2"),
+    ).localCheckpoint(eager=False)
+
+    a = feat.select(
+        F.col("cl"),
+        F.col("id").alias("id_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = feat.select(
+        F.col("cl"),
+        F.col("id").alias("id_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    dec = "decimal(38,0)"
+    pairs = (
+        a.join(b, on="cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cl",
+            "id_a",
+            "id_b",
+            "n2_a",
+            "n2_b",
+            F.aggregate(
+                F.zip_with(F.col("qv_a"), F.col("qv_b"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    dotd = F.col("dot").cast(dec)
+    lhs = dotd * dotd * F.lit(threshold_den * threshold_den).cast(dec)
+    rhs = (
+        F.lit(threshold_num * threshold_num).cast(dec)
+        * F.col("n2_a").cast(dec)
+        * F.col("n2_b").cast(dec)
+    )
+    return pairs.filter((F.col("dot") > 0) & (lhs >= rhs)).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("cl").cast("long").alias("cluster"),
     )

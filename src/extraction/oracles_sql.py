@@ -1530,11 +1530,14 @@ FROM pl p LEFT JOIN perdoc d ON p.doc_id = d.doc_id
 """
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 2, dims: int = 64, grid: int = 16384) -> str:
-    """Unrolled quantized-Lloyd SQL mirror of cluster.kmeans_quantized:
-    assignment by integer squared distance (ties -> lowest cid), centroid
-    update by exact euclidean floor division, empty clusters keep their
-    previous centroid. All arithmetic int64 — bit-identical to Spark."""
+def _kmeans_ctes(k: int = 4, iters: int = 2, dims: int = 64, grid: int = 16384) -> str:
+    """Shared unrolled quantized-Lloyd CTE chain (mirror of
+    cluster.kmeans_assign): assignment by integer squared distance
+    (ties -> lowest cid), centroid update by exact euclidean floor
+    division, empty clusters keep their previous centroid. All
+    arithmetic int64 — bit-identical to Spark. Ends with `aF` (final
+    assignment: vec_id, cid, dist, rn; rows with rn = 1 are the
+    assignment) and `cents{iters}` (final centroids)."""
     dist = (
         f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
         f"i -> (p.qv[i] - c.mv[i]) * (p.qv[i] - c.mv[i]))) AS BIGINT)"
@@ -1576,8 +1579,7 @@ def _kmeans_oracle(k: int = 4, iters: int = 2, dims: int = 64, grid: int = 16384
   FROM cents{t} c LEFT JOIN s{t} s ON s.cl = c.cid
 )""")
     joined = ",\n".join(ctes)
-    return f"""
-WITH {joined},
+    return f"""{joined},
 dF AS (
   SELECT p.vec_id, c.cid, {dist} AS dist
   FROM pts p CROSS JOIN cents{iters} c
@@ -1585,7 +1587,15 @@ dF AS (
   SELECT vec_id, cid, dist,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
   FROM dF
-), fin AS (
+)"""
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, dims: int = 64, grid: int = 16384) -> str:
+    """Final per-cluster stats over the shared Lloyd CTE chain —
+    mirror of cluster.kmeans_quantized."""
+    return f"""
+WITH {_kmeans_ctes(k, iters, dims, grid)},
+fin AS (
   SELECT cid, COUNT(*) AS n_points, SUM(dist) AS wcss
   FROM aF WHERE rn = 1 GROUP BY cid
 ), dig AS (
@@ -1603,6 +1613,50 @@ FROM fin f JOIN dig g ON f.cid = g.cid
 
 
 ORACLES["emb_kmeans"] = _kmeans_oracle()
+
+
+def _semantic_dedup_oracle(
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    grid: int = 16384,
+    num: int = 2,
+    den: int = 5,
+) -> str:
+    """SemDeDup mirror of cluster.semantic_near_pairs: the shared
+    Lloyd CTE chain assigns every point to a cluster, then pairs are
+    compared within clusters only, with the integer-exact cosine test
+    dot > 0 AND dot²·den² >= num²·|a|²·|b|² run in HUGEINT (the
+    int128 twin of Spark's decimal(38,0) — dot² <= 2^72 overflows
+    int64 in both engines)."""
+    dot = (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> x.qv[i] * y.qv[i])) AS BIGINT)"
+    )
+    return f"""
+WITH {_kmeans_ctes(k, iters, dims, grid)},
+feat AS (
+  SELECT a.vec_id, a.cid, p.qv,
+         CAST(list_sum(list_transform(p.qv, v -> v * v)) AS BIGINT) AS n2
+  FROM aF a JOIN pts p USING (vec_id)
+  WHERE a.rn = 1
+),
+cand AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cid AS cluster,
+         {dot} AS dot, x.n2 AS n2_a, y.n2 AS n2_b
+  FROM feat x JOIN feat y ON x.cid = y.cid AND x.vec_id < y.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       CAST(cluster AS BIGINT) AS cluster
+FROM cand
+WHERE dot > 0
+  AND CAST(dot AS HUGEINT) * dot * {den * den}
+      >= CAST({num * num} AS HUGEINT) * n2_a * n2_b
+"""
+
+
+ORACLES["dedup_semantic"] = _semantic_dedup_oracle()
 
 
 # S7 JSONL round-trip: the Spark query writes the corpus as line-JSON,

@@ -121,6 +121,94 @@ def test_kmeans_quantized_bit_exact(spark, seed, n):
         assert got[c]["centroid_digest"] == digests[c]
 
 
+def _semantic_mirror(vecs, k, iters, num, den):
+    """Serial SemDeDup mirror: final Lloyd assignment as the block key,
+    then exact integer cosine-threshold pairs within each block."""
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    pts = {i: [math.floor(f32(v) * 16384.0) for v in vec] for i, vec in vecs}
+    cents = {i: pts[i][:] for i in range(k)}
+
+    def assign(p):
+        best = (1 << 62, -1)
+        for cid in sorted(cents):
+            d = sum((a - b) * (a - b) for a, b in zip(p, cents[cid]))
+            if d < best[0]:
+                best = (d, cid)
+        return best[1]
+
+    for _ in range(iters):
+        sums = {}
+        for p in pts.values():
+            c = assign(p)
+            s, n = sums.get(c, ([0] * len(p), 0))
+            sums[c] = ([a + b for a, b in zip(s, p)], n + 1)
+        for c, (s, n) in sums.items():
+            cents[c] = [v // n for v in s]
+
+    blocks: dict[int, list[int]] = {}
+    for i, p in pts.items():
+        blocks.setdefault(assign(p), []).append(i)
+    pairs = set()
+    for cl, ids in blocks.items():
+        ids.sort()
+        for xi in range(len(ids)):
+            for yi in range(xi + 1, len(ids)):
+                a, b = ids[xi], ids[yi]
+                dot = sum(p * q for p, q in zip(pts[a], pts[b]))
+                na2 = sum(v * v for v in pts[a])
+                nb2 = sum(v * v for v in pts[b])
+                if dot > 0 and dot * dot * den * den >= num * num * na2 * nb2:
+                    pairs.add((a, b, cl))
+    return pairs
+
+
+@pytest.mark.parametrize("seed,n", [(3, 50), (19, 80)])
+def test_semantic_near_pairs_matches_mirror(spark, seed, n):
+    """Planted near-dup groups + background noise: the Spark pair set
+    must equal the serial mirror exactly (including which pairs are
+    LOST to cluster-boundary splits — the blocking recall caveat is
+    part of the spec, not slack)."""
+    from extraction.cluster import semantic_near_pairs
+
+    rng = random.Random(seed)
+    vecs = []
+    for i in range(n):
+        if i >= 8 and i % 5 == 0:  # plant a near-dup of an earlier point
+            base = vecs[i - 4][1]
+            vecs.append((i, [v + rng.uniform(-0.02, 0.02) for v in base]))
+        else:
+            vecs.append((i, [rng.uniform(-0.5, 0.5) for _ in range(64)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>").repartition(6)
+    got = {
+        (r["id_a"], r["id_b"], r["cluster"])
+        for r in semantic_near_pairs(
+            df, "embedding", "vec_id", k=4, iters=2, threshold_num=9, threshold_den=10
+        ).collect()
+    }
+    want = _semantic_mirror(vecs, k=4, iters=2, num=9, den=10)
+    assert len(want) > 0  # the planted dups must actually pair
+    assert got == want
+
+
+def test_semantic_near_pairs_zero_norm_never_pairs(spark):
+    """Zero vectors fail dot > 0 and must not pair with anything (the
+    NaN-cosine guard rule shared with similarity.cosine)."""
+    from extraction.cluster import semantic_near_pairs
+
+    vecs = [(i, [0.3] * 64) for i in range(4)]  # seeds, all identical
+    vecs += [(4, [0.0] * 64), (5, [0.0] * 64), (6, [0.3] * 64)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = semantic_near_pairs(
+        df, "embedding", "vec_id", k=4, iters=1, threshold_num=1, threshold_den=2
+    ).collect()
+    ids_in_pairs = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    assert 4 not in ids_in_pairs and 5 not in ids_in_pairs
+    assert len(got) > 0  # the identical non-zero vectors do pair
+
+
 def test_kmeans_empty_cluster_keeps_centroid(spark):
     """A seed point that attracts nothing after iteration 1 must keep
     its previous centroid (not crash or drop the cluster)."""
