@@ -1833,6 +1833,37 @@ def q_emb_kmeans(spark, sf_dir):
     return kmeans_quantized(e, "embedding", "vec_id", k=4, iters=2)
 
 
+def q_quality_source_screen(spark, sf_dir):
+    """Domain-level quality screen — the URL/source-level filtering
+    seat of a web pipeline (C4's blocklist, RefinedWeb's URL scoring):
+    a source is dropped when >30% of its docs score quality < 50, then
+    survivors aggregate per lang. Scale shape: the per-source agg is
+    map-side combinable down to |domains| rows (≪ corpus); the verdict
+    table is domain-sized so the screen is a broadcast LEFT SEMI join
+    — the corpus never shuffles to be screened (if the domain table
+    ever outgrows broadcast, the same plan works as a shuffled semi
+    join on the already-skew-free source key). quality_score is the
+    integer-exact rule from textops; thresholds are exact integer
+    cross-multiplies (n_low·10 <= n_docs·3)."""
+    from extraction.textops import quality_score
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    q = d.select(
+        "source", "lang", quality_score(F.col("text")).alias("q")
+    ).localCheckpoint(eager=False)  # reused by the agg AND the join-back
+    per_src = q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("q") < 50, 1).otherwise(0)).cast("long").alias("n_low"),
+    )
+    kept = per_src.filter(F.col("n_low") * 10 <= F.col("n_docs") * 3).select("source")
+    surv = q.join(F.broadcast(kept), "source", "left_semi")
+    return surv.groupBy("lang").agg(
+        F.count("*").cast("long").alias("kept_docs"),
+        F.countDistinct("source").cast("long").alias("kept_sources"),
+        F.sum("q").cast("long").alias("sum_q"),
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
     with the k-means cluster id as the blocking key — compare only
@@ -2007,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": q_dedup_passages,
         "emb_kmeans": q_emb_kmeans,
         "dedup_semantic": q_dedup_semantic,
+        "quality_source_screen": q_quality_source_screen,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

@@ -552,16 +552,39 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents
 """
 
-ORACLES["text_quality"] = f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(floor(
+_QUALITY_EXPR = f"""CAST(floor(
          LEAST(length(text) / 5, 40.0)
          + LEAST({_sw_hits("en")} * 4, 30)
          + LEAST((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 3, 15)
          - LEAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')), 15)
          + 15.0
-       ) AS BIGINT) AS quality
+       ) AS BIGINT)"""
+
+ORACLES["text_quality"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {_QUALITY_EXPR} AS quality
 FROM documents
+"""
+
+# source-level quality screen (mirror of q_quality_source_screen): a
+# source is dropped when more than 30% of its docs score quality < 50;
+# survivors aggregate per lang
+ORACLES["quality_source_screen"] = f"""
+WITH q AS (
+  SELECT source, lang, {_QUALITY_EXPR} AS q FROM documents
+), s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CASE WHEN q < 50 THEN 1 ELSE 0 END) AS n_low
+  FROM q GROUP BY source
+), kept AS (
+  SELECT source FROM s WHERE n_low * 10 <= n_docs * 3
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       CAST(COUNT(DISTINCT q.source) AS BIGINT) AS kept_sources,
+       CAST(SUM(q.q) AS BIGINT) AS sum_q
+FROM q JOIN kept ON q.source = kept.source
+GROUP BY lang
 """
 
 _LANGS = list(STOPWORDS)
