@@ -1833,6 +1833,21 @@ def q_emb_kmeans(spark, sf_dir):
     return kmeans_quantized(e, "embedding", "vec_id", k=4, iters=2)
 
 
+def q_dedup_substring_runs(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 substring
+    dedup): pairs of docs sharing a verbatim run of >= 8 tokens, found
+    as consecutive matching positional 4-shingles on a (id_a, id_b,
+    pos_a - pos_b) diagonal — the distributed equi-join + gap-group
+    re-expression of the paper's suffix array. Occurrence-pruned
+    [2, 50] before the self-join (singletons can't pair; hot hashes
+    are boilerplate and the quadratic hazard). See
+    dedup.substring_run_pairs."""
+    from extraction.dedup import substring_run_pairs
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    return substring_run_pairs(d, "text", "doc_id", k=4, min_tokens=8, max_df=50)
+
+
 def q_quality_source_screen(spark, sf_dir):
     """Domain-level quality screen — the URL/source-level filtering
     seat of a web pipeline (C4's blocklist, RefinedWeb's URL scoring):
@@ -2039,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "dedup_semantic": q_dedup_semantic,
         "quality_source_screen": q_quality_source_screen,
+        "dedup_substring_runs": q_dedup_substring_runs,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

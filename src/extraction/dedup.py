@@ -869,3 +869,93 @@ def passage_dedup_stats(
             F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring runs (the Lee et al. 2022 substring-dedup shape)
+# ---------------------------------------------------------------------------
+
+
+def substring_run_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    min_tokens: int = 8,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact duplicated token spans across documents — the substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better": drop/flag any >=N-token span that repeats
+    verbatim), re-expressed as positional-shingle diagonals instead of
+    a suffix array.
+
+    Two docs sharing m CONSECUTIVE matching k-shingles share a verbatim
+    run of m + k - 1 tokens. So: positional k-shingle hashes
+    (textops.word_shingles_seq), equi-join across docs, then within
+    each (id_a, id_b, diag = pos_a - pos_b) diagonal the classic
+    gap-group (pos_a - row_number() is constant on a consecutive run —
+    the same cumsum idiom as the G1 sessionizer) measures run lengths
+    exactly. Emits (id_a, id_b, max_run_tokens, matched_shingles) for
+    pairs whose longest shared run reaches ``min_tokens``.
+
+    Scale safeguards (the winnow_overlap_pairs discipline):
+    - shingle-hash occurrences outside [2, max_df] are pruned before
+      the self-join: singletons cannot pair; hot hashes are boilerplate
+      and the quadratic hazard. Pruning a hot hash can SPLIT a run that
+      passes through it, so reported max_run_tokens is a lower bound in
+      boilerplate-heavy corpora — the conservative direction for a
+      dedup trigger.
+    - only (h, id, pos) rows shuffle; text never leaves the narrow
+      stage; the positional-shingle table is materialized before the
+      explode (interpreted-HOF re-evaluation trap, see
+      winnow_sketch_table).
+    - a suffix array finds runs in O(n) per shard but needs the shard
+      in one address space; the diagonal form is pure equi-join +
+      window — every stage partitions on (id_a, id_b) or h.
+    """
+    from .textops import word_shingles_seq
+
+    tbl = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        word_shingles_seq(F.col(text_col), k).alias("shs"),
+    ).localCheckpoint(eager=False)
+    ex = tbl.select(
+        "id", F.posexplode("shs").alias("pos", "s")
+    ).select(
+        "id",
+        "pos",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    eligible = (
+        ex.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .filter((F.col("occ") >= 2) & (F.col("occ") <= max_df))
+        .select("h")
+    )
+    pr = ex.join(eligible, "h")
+    a = pr.select("h", F.col("id").alias("id_a"), F.col("pos").alias("pos_a"))
+    b = pr.select("h", F.col("id").alias("id_b"), F.col("pos").alias("pos_b"))
+    m = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    rl = runs.groupBy("id_a", "id_b", "diag", "grp").agg(F.count("*").alias("rl"))
+    return (
+        rl.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("rl") + F.lit(k - 1)).cast("long").alias("max_run_tokens"),
+            F.sum("rl").cast("long").alias("matched_shingles"),
+        )
+        .filter(F.col("max_run_tokens") >= min_tokens)
+    )

@@ -219,6 +219,57 @@ WITH {_NORM_WORDS_CTE}, {_WS_CTE}, {_WINNOW_CTE}
 SELECT doc_id, unnest(sketch) AS wh FROM mins
 """
 
+# exact duplicated-substring runs (mirror of dedup.substring_run_pairs):
+# positional k=4 shingles, occurrence-pruned [2,50], cross-doc equi-join,
+# per-diagonal gap-group run lengths, pairs with max run >= 8 tokens
+def _substring_runs_oracle(k: int = 4, min_tokens: int = 8, max_df: int = 50) -> str:
+    concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+    return f"""
+WITH {_NORM_WORDS_CTE}, {_WS_CTE},
+shp AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k}
+              THEN list_transform(range(1, len(ws) - {k - 1} + 1), i -> {concat})
+              ELSE [] END AS shingles
+  FROM wsed
+),
+ex AS (
+  SELECT doc_id AS id,
+         unnest(range(1, len(shingles) + 1)) AS pos,
+         unnest(shingles) AS s
+  FROM shp
+),
+hx AS (
+  SELECT id, pos, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h FROM ex
+),
+eligible AS (
+  SELECT h FROM hx GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {max_df}
+),
+pr AS (SELECT hx.* FROM hx JOIN eligible USING (h)),
+m AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM pr a JOIN pr b ON a.h = b.h AND a.id < b.id
+),
+r AS (
+  SELECT id_a, id_b,
+         pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a)
+           AS grp,
+         diag
+  FROM m
+),
+rl AS (
+  SELECT id_a, id_b, COUNT(*) AS rl FROM r GROUP BY id_a, id_b, diag, grp
+)
+SELECT id_a, id_b,
+       CAST(MAX(rl) + {k - 1} AS BIGINT) AS max_run_tokens,
+       CAST(SUM(rl) AS BIGINT) AS matched_shingles
+FROM rl GROUP BY id_a, id_b
+HAVING MAX(rl) + {k - 1} >= {min_tokens}
+"""
+
+
+ORACLES["dedup_substring_runs"] = _substring_runs_oracle()
+
 ORACLES["dedup_winnow_overlap"] = f"""
 WITH {_NORM_WORDS_CTE}, {_WS_CTE}, {_WINNOW_CTE},
 ex AS (
