@@ -637,6 +637,71 @@ def main() -> int:
         },
     )
 
+    # SemDeDup semantic pairs: assignment broadcast-packed (corpus never
+    # shuffles to be BLOCKED); the within-cluster pair stage is a plain
+    # equi-join on cl; the decimal cosine test stays JVM-side
+    from extraction.cluster import semantic_near_pairs
+
+    sp = semantic_near_pairs(
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")),
+        "embedding", "vec_id", k=4, iters=1, threshold_num=2, threshold_den=5,
+    )
+    sp.collect()
+    spsimple = sp._jdf.queryExecution().executedPlan().toString()
+    check(
+        "dedup semantic (k-means blocks, integer-exact cosine pairs)",
+        plan_of(sp),
+        {
+            "cluster assignment reaches points via broadcast":
+                "Broadcast" in spsimple,
+            "pair stage is an equi-join on the block key (no cartesian)":
+                "Cartesian" not in spsimple and "NestedLoop" not in spsimple,
+            "no Python in the hot path": "Python" not in spsimple,
+        },
+    )
+
+    # source-level quality screen: the domain verdict joins back as a
+    # broadcast LEFT SEMI — the corpus never shuffles to be screened
+    import __spark_entry__ as entry
+
+    qs = entry.q_quality_source_screen(spark, SF_DIR)
+    qs.collect()
+    qssimple = qs._jdf.queryExecution().executedPlan().toString()
+    check(
+        "quality source screen (broadcast semi-join verdict)",
+        plan_of(qs),
+        {
+            "verdict joins back broadcast + left-semi":
+                "BroadcastHashJoin" in qssimple and "LeftSemi" in qssimple,
+            "per-source agg combines map-side (partial)":
+                "partial_count" in qssimple or "partial_sum" in qssimple,
+            "no cartesian / Python in the hot path":
+                "Cartesian" not in qssimple and "Python" not in qssimple,
+        },
+    )
+
+    # substring runs: everything is equi-join + window — no pair
+    # expansion beyond the pruned hash join, no Python
+    from extraction.dedup import substring_run_pairs
+
+    sr = substring_run_pairs(
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")),
+        "text", "doc_id", k=4, min_tokens=8, max_df=50,
+    )
+    sr.collect()
+    srsimple = sr._jdf.queryExecution().executedPlan().toString()
+    check(
+        "dedup substring runs (shingle-diagonal equi-join + gap-group)",
+        plan_of(sr),
+        {
+            "hash-prune agg combines map-side (partial_count)":
+                "partial_count" in srsimple,
+            "no cartesian / nested-loop anywhere":
+                "Cartesian" not in srsimple and "NestedLoop" not in srsimple,
+            "no Python in the hot path": "Python" not in srsimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
