@@ -1888,13 +1888,19 @@ def q_dedup_semantic(spark, sf_dir):
     blocking in dedup_embedding_cosine: at corpus scale k ~
     n/target_block bounds the within-cluster pair work (SemDeDup used
     50k clusters on LAION); assignment is the broadcast-packed argmin
-    so the corpus never shuffles to be blocked. See
+    so the corpus never shuffles to be blocked. k is derived from the
+    corpus size right here (target block ~125 vectors — the documented
+    production knob: k=4 at the sf0.01 oracle point, k=40 at sf0.1),
+    because a FIXED k makes the within-block pair stage quadratic in
+    corpus growth: measured 12.6 s at sf0.1 with k=4 vs ~1 s with the
+    scaled k, same oracle-checked semantics at the checked point. See
     cluster.semantic_near_pairs."""
     from extraction.cluster import semantic_near_pairs
 
     e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    k = max(4, (e.count() + 124) // 125)
     return semantic_near_pairs(
-        e, "embedding", "vec_id", k=4, iters=2, threshold_num=2, threshold_den=5
+        e, "embedding", "vec_id", k=k, iters=2, threshold_num=2, threshold_den=5
     )
 
 
@@ -1926,6 +1932,76 @@ def q_s7_jsonl_roundtrip(spark, sf_dir):
         F.min("doc_id").cast("long").alias("min_id"),
         F.max("doc_id").cast("long").alias("max_id"),
         F.sum(fingerprint64(F.col("text")) % F.lit(2147483647)).cast("long").alias("text_checksum"),
+    )
+
+
+def q_t8_pack_sequences(spark, sf_dir):
+    """Sequence packing to a 512-token budget in doc_id order — the
+    training-batch construction step, and the one operator whose
+    semantics demand a GLOBAL running total. Built as the textbook
+    two-phase distributed scan (per-bucket sums -> model-sized driver
+    prefix -> broadcast offsets -> per-bucket window cumsum), so no
+    single task ever sees the corpus — the naive single-window form
+    funnels everything through one task. cum_before is the exact
+    global prefix sum; bin = cum_before // budget; spill = tokens past
+    the bin boundary (the caller's padding/truncation policy input).
+    See packing.pack_sequences."""
+    from extraction.packing import pack_sequences
+    from extraction.textops import token_count_ws
+
+    d = _par(spark, _t(spark, sf_dir, "documents")).select(
+        F.col("doc_id"), token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, "n_tokens", "doc_id", budget=512, n_buckets=64)
+
+
+def q_s8_jsonl_corrupt_ingest(spark, sf_dir):
+    """Malformed-record accounting on JSONL ingest — the PERMISSIVE
+    dead-letter seam. Reading 100 TB of web-crawled JSONL, some lines
+    are truncated/garbage; the job must (a) not die, (b) count and
+    QUARANTINE the bad lines verbatim, (c) parse everything else. Here
+    every doc_id % 37 == 0 line is deterministically replaced with a
+    non-JSON string before writing; the read-back declares the schema
+    plus a _corrupt_record column (PERMISSIVE mode), so bad lines land
+    raw in the quarantine column while good lines parse normally. The
+    checksum over coalesce(_corrupt_record, text) proves BOTH that good
+    text survives the round trip byte-exactly AND that corrupt lines
+    are preserved verbatim for the dead-letter table — the oracle
+    reconstructs both populations straight from the documents table.
+    Scale: line-JSON stays splittable; the corrupt branch is pure
+    column logic (no driver involvement, no second pass)."""
+    from extraction.textops import fingerprint64
+
+    d = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp", f"extraction_jsonl_corrupt_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    line = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.concat(F.lit("CORRUPT "), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    )
+    d.select(line.alias("value")).coalesce(4).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    status = F.when(F.col("_corrupt_record").isNotNull(), F.lit("corrupt")).otherwise(
+        F.lit("ok")
+    )
+    return back.groupBy(status.alias("status")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("long").alias("chars"),
+        F.sum(
+            fingerprint64(F.coalesce(F.col("_corrupt_record"), F.col("text")))
+            % F.lit(2147483647)
+        ).cast("long").alias("checksum"),
     )
 
 
@@ -2055,6 +2131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "quality_source_screen": q_quality_source_screen,
         "dedup_substring_runs": q_dedup_substring_runs,
+        "s8_jsonl_corrupt_ingest": q_s8_jsonl_corrupt_ingest,
+        "t8_pack_sequences": q_t8_pack_sequences,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

@@ -1751,6 +1751,49 @@ FROM documents
 GROUP BY lang, source
 """
 
+# s8 corrupt-tolerant JSONL ingest: the Spark query corrupts every
+# doc_id % 37 == 0 line before writing and reads back in PERMISSIVE
+# mode with a _corrupt_record quarantine column; the oracle
+# reconstructs both populations straight from documents — the corrupt
+# line is a deterministic function of doc_id, the good line's text
+# must survive the JSON round trip byte-exactly
+_FP64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+ORACLES["s8_jsonl_corrupt_ingest"] = f"""
+SELECT 'corrupt' AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS chars,
+       CAST(SUM({_FP64.format(x="'CORRUPT ' || CAST(doc_id AS VARCHAR)")}
+                % 2147483647) AS BIGINT) AS checksum
+FROM documents WHERE doc_id % 37 = 0
+UNION ALL
+SELECT 'ok' AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM({_FP64.format(x="text")} % 2147483647) AS BIGINT) AS checksum
+FROM documents WHERE doc_id % 37 <> 0
+"""
+
+# t8 sequence packing (mirror of packing.pack_sequences via the naive
+# single-window global cumsum — the oracle can afford the funnel):
+# exact int64 prefix sum in doc_id order, bin = cum_before // 512,
+# spill = tokens past the bin boundary
+ORACLES["t8_pack_sequences"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, {_WS_COUNT} AS n_tokens
+  FROM documents
+), c AS (
+  SELECT id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM t
+)
+SELECT id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(cum_before // 512 AS BIGINT) AS bin,
+       CAST(GREATEST(0, cum_before % 512 + n_tokens - 512) AS BIGINT) AS spill
+FROM c
+"""
+
 # exact type-1 per-lang length quantiles: value at rank
 # floor(pct * (n-1) / 100) + 1 of the (n_tokens, doc_id) order —
 # integer index arithmetic, no interpolation float
