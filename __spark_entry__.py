@@ -1904,6 +1904,23 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+def q_dedup_semantic_probe2(spark, sf_dir):
+    """SemDeDup with top-2 cluster assignment — the nprobe=2 recall
+    recovery for the single-assignment form's cluster-boundary blind
+    spot. Measured at the sf0.01 oracle point (cos >= 0.4, k=4): 59
+    exact ground-truth pairs, single assignment blocks 50.8% of them
+    together, top-2 assignment 96.6% (BENCH/DEDUP_RECALL.md) — the
+    same measured knob-vs-recall trade as ann_multiprobe_top1 and
+    ann_ivf_probe2_top1. See cluster.semantic_near_pairs_multi."""
+    from extraction.cluster import semantic_near_pairs_multi
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    k = max(4, (e.count() + 124) // 125)
+    return semantic_near_pairs_multi(
+        e, "embedding", "vec_id", k=k, iters=2, threshold_num=2, threshold_den=5
+    )
+
+
 def q_s7_jsonl_roundtrip(spark, sf_dir):
     """JSONL sink + source round-trip — the training-data interchange
     format (every public corpus ships as JSONL). The corpus is written
@@ -2133,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_runs": q_dedup_substring_runs,
         "s8_jsonl_corrupt_ingest": q_s8_jsonl_corrupt_ingest,
         "t8_pack_sequences": q_t8_pack_sequences,
+        "dedup_semantic_probe2": q_dedup_semantic_probe2,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

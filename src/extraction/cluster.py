@@ -292,3 +292,151 @@ def semantic_near_pairs(
         F.col("id_b").cast("long"),
         F.col("cl").cast("long").alias("cluster"),
     )
+
+
+def semantic_near_pairs_multi(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """SemDeDup with TOP-2 cluster assignment — the nprobe=2 recall
+    recovery for the single-assignment form's cluster-boundary blind
+    spot (a near-dup pair split across a centroid boundary is never
+    compared by semantic_near_pairs).
+
+    Measured on the sf0.01 embeddings at cos >= 0.4, k=4: exact
+    all-pairs ground truth has 59 pairs; single assignment blocks
+    50.8% of them together, top-2 assignment 96.6% — the same
+    knob-vs-recall trade as similarity.multiprobe_topk (1-bit-flip
+    probes) and ivf nprobe=2, measured not assumed.
+
+    Cost: each point joins 2 blocks, so within-block pair work rises
+    ~(2 nassign choose 2)/(1) = up to 4x over single assignment at the
+    same k — the caller doubles k to hold block sizes. Pairs sharing
+    BOTH blocks pass the threshold test in each; the final groupBy
+    dedupes and reports n_shared_blocks (1 or 2) as the witness.
+
+    Tie semantics match the DuckDB mirror's ROW_NUMBER() ORDER BY
+    (dist, cid): the packed centroid array is sorted by cid and the
+    fold uses strict <, so equal distances keep the lowest cid in both
+    slots.
+    """
+    _, cents = kmeans_assign(df, vec_col, id_col, k=k, iters=iters, dims=dims)
+    spark = df.sparkSession
+    pts = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+    )
+    cdf = spark.createDataFrame(
+        sorted(cents.items()), schema="cid long, mv array<long>"
+    )
+    packed = F.broadcast(
+        cdf.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("mv")))
+            ).alias("__cents")
+        )
+    )
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"), c["mv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    far = F.lit(1 << 62).cast("long")
+    top2 = F.aggregate(
+        scored,
+        F.struct(
+            far.alias("d1"),
+            F.lit(-1).cast("long").alias("c1"),
+            far.alias("d2"),
+            F.lit(-1).cast("long").alias("c2"),
+        ),
+        lambda a, s: F.struct(
+            F.when(s["dist"] < a["d1"], s["dist"]).otherwise(a["d1"]).alias("d1"),
+            F.when(s["dist"] < a["d1"], s["cid"]).otherwise(a["c1"]).alias("c1"),
+            F.when(s["dist"] < a["d1"], a["d1"])
+            .when(s["dist"] < a["d2"], s["dist"])
+            .otherwise(a["d2"])
+            .alias("d2"),
+            F.when(s["dist"] < a["d1"], a["c1"])
+            .when(s["dist"] < a["d2"], s["cid"])
+            .otherwise(a["c2"])
+            .alias("c2"),
+        ),
+    )
+    # let-bind the fold (one projection), derive n2, MATERIALIZE before
+    # the explode — never explode an interpreted-HOF expression directly
+    # (house rule; see winnow_sketch_table)
+    feat = (
+        pts.crossJoin(packed)
+        .select("id", "qv", top2.alias("__t"))
+        .select(
+            "id",
+            "qv",
+            F.col("__t.c1").alias("c1"),
+            F.col("__t.c2").alias("c2"),
+            F.aggregate(
+                F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ).alias("n2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mem = feat.select(
+        "id", "qv", "n2", F.explode(F.array("c1", "c2")).alias("cl")
+    )
+    a = mem.select(
+        "cl",
+        F.col("id").alias("id_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = mem.select(
+        "cl",
+        F.col("id").alias("id_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    dec = "decimal(38,0)"
+    pairs = (
+        a.join(b, on="cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "n2_a",
+            "n2_b",
+            F.aggregate(
+                F.zip_with(F.col("qv_a"), F.col("qv_b"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    dotd = F.col("dot").cast(dec)
+    lhs = dotd * dotd * F.lit(threshold_den * threshold_den).cast(dec)
+    rhs = (
+        F.lit(threshold_num * threshold_num).cast(dec)
+        * F.col("n2_a").cast(dec)
+        * F.col("n2_b").cast(dec)
+    )
+    return (
+        pairs.filter((F.col("dot") > 0) & (lhs >= rhs))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared_blocks"))
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            "n_shared_blocks",
+        )
+    )

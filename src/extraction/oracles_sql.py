@@ -1733,6 +1733,50 @@ WHERE dot > 0
 ORACLES["dedup_semantic"] = _semantic_dedup_oracle()
 
 
+def _semantic_dedup_probe2_oracle(
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    grid: int = 16384,
+    num: int = 2,
+    den: int = 5,
+) -> str:
+    """Top-2-assignment SemDeDup mirror (cluster.semantic_near_pairs_multi):
+    every point belongs to its TWO nearest final centroids (rn <= 2 of
+    the shared Lloyd chain's ORDER BY dist, cid — identical tie rule to
+    the Spark fold); pairs passing the threshold in both shared blocks
+    dedupe via the GROUP BY, with the shared-block count as witness."""
+    dot = (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> x.qv[i] * y.qv[i])) AS BIGINT)"
+    )
+    return f"""
+WITH {_kmeans_ctes(k, iters, dims, grid)},
+feat AS (
+  SELECT a.vec_id, a.cid, p.qv,
+         CAST(list_sum(list_transform(p.qv, v -> v * v)) AS BIGINT) AS n2
+  FROM aF a JOIN pts p USING (vec_id)
+  WHERE a.rn <= 2
+),
+cand AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         {dot} AS dot, x.n2 AS n2_a, y.n2 AS n2_b
+  FROM feat x JOIN feat y ON x.cid = y.cid AND x.vec_id < y.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_blocks
+FROM cand
+WHERE dot > 0
+  AND CAST(dot AS HUGEINT) * dot * {den * den}
+      >= CAST({num * num} AS HUGEINT) * n2_a * n2_b
+GROUP BY id_a, id_b
+"""
+
+
+ORACLES["dedup_semantic_probe2"] = _semantic_dedup_probe2_oracle()
+
+
 # S7 JSONL round-trip: the Spark query writes the corpus as line-JSON,
 # reads it back with a declared schema, and aggregates; the oracle
 # computes the identical aggregate straight from the documents table —

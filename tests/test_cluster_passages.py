@@ -193,6 +193,81 @@ def test_semantic_near_pairs_matches_mirror(spark, seed, n):
     assert got == want
 
 
+def _semantic_multi_mirror(vecs, k, iters, num, den):
+    """Serial top-2-assignment SemDeDup mirror: every point belongs to
+    its two nearest final centroids (ties -> lowest cid); pairs dedupe
+    with the shared-block count as witness."""
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    pts = {i: [math.floor(f32(v) * 16384.0) for v in vec] for i, vec in vecs}
+    cents = {i: pts[i][:] for i in range(k)}
+
+    def top(p, nbest):
+        ds = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(p, cents[c])), c)
+            for c in sorted(cents)
+        )
+        return [c for _, c in ds[:nbest]]
+
+    for _ in range(iters):
+        sums = {}
+        for p in pts.values():
+            c = top(p, 1)[0]
+            s, n = sums.get(c, ([0] * len(p), 0))
+            sums[c] = ([a + b for a, b in zip(s, p)], n + 1)
+        for c, (s, n) in sums.items():
+            cents[c] = [v // n for v in s]
+
+    blocks: dict[int, list[int]] = {}
+    for i, p in pts.items():
+        for c in top(p, 2):
+            blocks.setdefault(c, []).append(i)
+    norms = {i: sum(v * v for v in p) for i, p in pts.items()}
+    pairs: dict[tuple[int, int], int] = {}
+    for cl, ids in blocks.items():
+        ids.sort()
+        for xi in range(len(ids)):
+            for yi in range(xi + 1, len(ids)):
+                a, b = ids[xi], ids[yi]
+                dot = sum(p * q for p, q in zip(pts[a], pts[b]))
+                if dot > 0 and dot * dot * den * den >= num * num * norms[a] * norms[b]:
+                    pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    return pairs
+
+
+@pytest.mark.parametrize("seed,n", [(3, 50), (41, 80)])
+def test_semantic_multi_matches_mirror_and_recovers_boundary_pairs(spark, seed, n):
+    from extraction.cluster import semantic_near_pairs, semantic_near_pairs_multi
+
+    rng = random.Random(seed)
+    vecs = []
+    for i in range(n):
+        if i >= 8 and i % 5 == 0:
+            base = vecs[i - 4][1]
+            vecs.append((i, [v + rng.uniform(-0.02, 0.02) for v in base]))
+        else:
+            vecs.append((i, [rng.uniform(-0.5, 0.5) for _ in range(64)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>").repartition(6)
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_blocks"]
+        for r in semantic_near_pairs_multi(
+            df, "embedding", "vec_id", k=4, iters=2, threshold_num=9, threshold_den=10
+        ).collect()
+    }
+    want = _semantic_multi_mirror(vecs, k=4, iters=2, num=9, den=10)
+    assert got == want
+    # top-2 must be a superset of single assignment (recall can only rise)
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_near_pairs(
+            df, "embedding", "vec_id", k=4, iters=2, threshold_num=9, threshold_den=10
+        ).collect()
+    }
+    assert single <= set(got)
+
+
 def test_semantic_near_pairs_zero_norm_never_pairs(spark):
     """Zero vectors fail dot > 0 and must not pair with anything (the
     NaN-cosine guard rule shared with similarity.cosine)."""
