@@ -1952,6 +1952,41 @@ def q_s7_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_s9_upsert_recrawl(spark, sf_dir):
+    """Re-crawl upsert — the corpus-maintenance MERGE seam: every
+    doc_id % 10 == 0 document is re-fetched with new content and must
+    REPLACE its previous version; everything else is untouched. Runs
+    through catalog.merge_upsert (Iceberg `MERGE INTO ... WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT` on table refs — one atomic
+    snapshot; read-anti-join-union-overwrite on the parquet fallback
+    exercised here). The read-back aggregates per lang with a text
+    checksum, so oracle equality proves replaced rows carry exactly
+    the new text, untouched rows exactly the old — not just counts."""
+    from extraction.catalog import merge_upsert, read_back
+    from extraction.textops import fingerprint64
+
+    d = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp", f"extraction_upsert_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    d.write.mode("overwrite").parquet(path)
+    updates = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [recrawl v2]")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 13).alias("n_chars"),
+    )
+    merge_upsert(spark, path, updates, "doc_id")
+    back = read_back(spark, path)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("doc_id") % 10 == 0).cast("long")).cast("long").alias("n_recrawled"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum(fingerprint64(F.col("text")) % F.lit(2147483647)).cast("long").alias("text_checksum"),
+    )
+
+
 def q_t8_pack_sequences(spark, sf_dir):
     """Sequence packing to a 512-token budget in doc_id order — the
     training-batch construction step, and the one operator whose
@@ -2151,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_jsonl_corrupt_ingest": q_s8_jsonl_corrupt_ingest,
         "t8_pack_sequences": q_t8_pack_sequences,
         "dedup_semantic_probe2": q_dedup_semantic_probe2,
+        "s9_upsert_recrawl": q_s9_upsert_recrawl,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

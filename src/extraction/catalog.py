@@ -145,3 +145,53 @@ def read_back(
     if schema is not None:
         r = r.schema(schema)
     return r.parquet(ref)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    ref: str,
+    updates: DataFrame,
+    key_col: str,
+    schema: StructType | None = None,
+) -> None:
+    """Upsert ``updates`` into the corpus by ``key_col`` — the re-crawl
+    seam: a re-fetched document REPLACES its previous version, a new
+    document inserts; untouched rows are untouched.
+
+    Table branch: the real thing — one atomic Iceberg row-level
+    operation:
+
+        MERGE INTO <t> t USING <updates> u ON t.key = u.key
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+
+    (copy-on-write or merge-on-read per the table's write properties;
+    either way a single snapshot commit, so a concurrent reader sees
+    the old corpus or the new one, never a mix.)
+
+    Path branch (parquet fallback): anti-join the existing corpus
+    against the update keys, union the updates, eagerly materialize
+    (localCheckpoint) to break the read-from/write-to cycle, then
+    overwrite. NOT atomic and rewrites the whole dataset — correct at
+    test scale and documented as such; at corpus scale the table
+    branch exists precisely because parquet-in-place cannot do this
+    (write-new-then-swap-dir is the manual equivalent).
+    """
+    if is_table_ref(ref):
+        name = require_catalog(spark, ref)
+        updates.createOrReplaceTempView("__merge_updates")
+        spark.sql(
+            f"MERGE INTO {name} t USING __merge_updates u "
+            f"ON t.{key_col} = u.{key_col} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return
+    existing = read_docs(spark, ref, schema)
+    keys = updates.select(key_col)
+    merged = (
+        existing.join(F.broadcast(keys), key_col, "left_anti")
+        .unionByName(updates)
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(ref)

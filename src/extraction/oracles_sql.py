@@ -1817,6 +1817,26 @@ SELECT 'ok' AS status,
 FROM documents WHERE doc_id % 37 <> 0
 """
 
+# s9 re-crawl upsert: the oracle reconstructs the post-merge corpus
+# straight from documents (doc_id % 10 == 0 rows carry the v2 text and
+# n_chars + 13); checksum equality proves replaced rows carry exactly
+# the new text and untouched rows exactly the old
+ORACLES["s9_upsert_recrawl"] = f"""
+WITH merged AS (
+  SELECT lang,
+         doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' [recrawl v2]' ELSE text END AS text,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 13 ELSE n_chars END AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recrawled,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM({_FP64.format(x="text")} % 2147483647) AS BIGINT) AS text_checksum
+FROM merged GROUP BY lang
+"""
+
 # t8 sequence packing (mirror of packing.pack_sequences via the naive
 # single-window global cumsum — the oracle can afford the funnel):
 # exact int64 prefix sum in doc_id order, bin = cum_before // 512,

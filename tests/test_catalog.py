@@ -91,3 +91,33 @@ def test_path_branch_lineage_round_trip(spark, tmp_path):
     src = str(tmp_path / "docs")
     docs.write.parquet(src)
     assert C.read_docs(spark, src, DOCS_SCHEMA).count() == 300
+
+
+def test_merge_upsert_unconfigured_catalog_fails_fast(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="spark.sql.catalog.noice"):
+        C.merge_upsert(spark, "table:noice.db.docs", df, "doc_id")
+
+
+def test_merge_upsert_path_branch_semantics(spark, tmp_path):
+    """Replace-by-key, insert-new-key, leave-the-rest: the full MERGE
+    contract on the parquet fallback."""
+    path = str(tmp_path / "corpus")
+    base = spark.createDataFrame(
+        [(1, "one v1"), (2, "two v1"), (3, "three v1")],
+        "doc_id long, text string",
+    )
+    base.write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "two v2"), (9, "nine NEW")], "doc_id long, text string"
+    )
+    C.merge_upsert(spark, path, updates, "doc_id")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: "one v1", 2: "two v2", 3: "three v1", 9: "nine NEW"}
+    # idempotent: re-applying the same updates changes nothing
+    C.merge_upsert(spark, path, updates, "doc_id")
+    again = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    assert again == got
