@@ -1512,6 +1512,41 @@ def q_text_top_ngrams(spark, sf_dir):
     )
 
 
+def q_text_oov_rate(spark, sf_dir):
+    """Per-lang OOV rate against a corpus-derived top-16 vocabulary —
+    tokenizer-coverage telemetry (how much of each language a fixed
+    vocab budget covers; the number a tokenizer-fit or vocab-truncation
+    decision is made against). The vocab is the top-16 normalized words
+    (deterministic count-desc/word-asc tie-break so both engines pick
+    the same 16 — 16 of this corpus's 31-word synthetic vocab, ~45%
+    OOV); coverage is one broadcast LEFT join on the exploded token
+    stream, then a per-lang conditional count. Scale shape: token
+    counting is one map-side-combined agg (the top_ngrams shuffle
+    shape); the vocab is model-sized and broadcast; nothing but
+    (lang, token) rows ever shuffle. The token stream is materialized
+    once (localCheckpoint) because vocab and coverage both consume it."""
+    from extraction.textops import normalize_text, words
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "lang", F.explode(words(normalize_text(F.col("text")))).alias("w")
+    ).localCheckpoint(eager=False)
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(16)
+        .select("w", F.lit(1).alias("inv"))
+    )
+    cov = tok.join(F.broadcast(vocab), "w", "left")
+    return cov.groupBy("lang").agg(
+        F.count("*").cast("long").alias("tokens"),
+        F.sum(F.when(F.col("inv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Within-document repetition signals (the Gopher-rule family):
     words per doc, distinct words per doc, and the mode word's count
@@ -2187,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_pack_sequences": q_t8_pack_sequences,
         "dedup_semantic_probe2": q_dedup_semantic_probe2,
         "s9_upsert_recrawl": q_s9_upsert_recrawl,
+        "text_oov_rate": q_text_oov_rate,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

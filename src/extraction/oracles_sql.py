@@ -1385,6 +1385,28 @@ FROM b GROUP BY 1
 ORDER BY n DESC, ngram ASC LIMIT 20
 """
 
+# OOV rate vs the corpus-derived top-16 vocab (mirror of
+# q_text_oov_rate; same normalized word stream, same deterministic
+# count-desc/word-asc vocab tie-break)
+ORACLES["text_oov_rate"] = r"""
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g')), '\s+'), x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS n FROM tok GROUP BY w ORDER BY n DESC, w ASC LIMIT 16
+  )
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN w NOT IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
+            AS BIGINT) AS oov_tokens
+FROM tok GROUP BY lang
+"""
+
 ORACLES["text_repetition"] = r"""
 WITH w AS (
   SELECT doc_id, lang,
