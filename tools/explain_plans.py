@@ -702,6 +702,32 @@ def main() -> int:
         },
     )
 
+    # sequence packing: the global prefix sum must NOT funnel through a
+    # single-partition window — the per-bucket window shuffles on
+    # hashpartitioning(bucket), never on SinglePartition
+    from extraction.packing import pack_sequences
+    from extraction.textops import token_count_ws
+
+    pk = pack_sequences(
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+            "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+        ),
+        "n_tokens", "doc_id", budget=512, n_buckets=64,
+    )
+    pk.collect()
+    pksimple = pk._jdf.queryExecution().executedPlan().toString()
+    check(
+        "t8 pack_sequences (two-phase scan, per-bucket window)",
+        plan_of(pk),
+        {
+            "window is per-bucket (no SinglePartition funnel)":
+                "Window" in pksimple and "SinglePartition" not in pksimple,
+            "bucket offsets broadcast back": "Broadcast" in pksimple,
+            "no cartesian / Python in the hot path":
+                "Cartesian" not in pksimple and "Python" not in pksimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
