@@ -1927,15 +1927,23 @@ def q_dedup_semantic(spark, sf_dir):
     corpus size right here (target block ~125 vectors — the documented
     production knob: k=4 at the sf0.01 oracle point, k=40 at sf0.1),
     because a FIXED k makes the within-block pair stage quadratic in
-    corpus growth: measured 12.6 s at sf0.1 with k=4 vs ~1 s with the
-    scaled k, same oracle-checked semantics at the checked point. See
+    corpus growth: measured 12.6 s at sf0.1 with k=4 vs ~5 s with the
+    scaled k + sample fit (the remaining wall is the two irreducible
+    linear passes: one full-corpus assignment, one within-block pair
+    scan), same oracle-checked semantics at the checked point. See
     cluster.semantic_near_pairs."""
     from extraction.cluster import semantic_near_pairs
 
     e = _par(spark, _t(spark, sf_dir, "embeddings"))
-    k = max(4, (e.count() + 124) // 125)
+    n = e.count()
+    k = max(4, (n + 124) // 125)
+    # fit the centroid model on a ~500-point sample (fit_mod = n/500,
+    # =1 at the sf0.01 oracle point): with k ∝ n, fitting on ALL points
+    # is O(n²/target_block) — the sample fit keeps the Lloyd loop
+    # O(k·sample) and the full corpus pays exactly one assignment pass
     return semantic_near_pairs(
-        e, "embedding", "vec_id", k=k, iters=2, threshold_num=2, threshold_den=5
+        e, "embedding", "vec_id", k=k, iters=2, threshold_num=2,
+        threshold_den=5, fit_mod=max(1, n // 500),
     )
 
 
@@ -1950,9 +1958,11 @@ def q_dedup_semantic_probe2(spark, sf_dir):
     from extraction.cluster import semantic_near_pairs_multi
 
     e = _par(spark, _t(spark, sf_dir, "embeddings"))
-    k = max(4, (e.count() + 124) // 125)
+    n = e.count()
+    k = max(4, (n + 124) // 125)
     return semantic_near_pairs_multi(
-        e, "embedding", "vec_id", k=k, iters=2, threshold_num=2, threshold_den=5
+        e, "embedding", "vec_id", k=k, iters=2, threshold_num=2,
+        threshold_den=5, fit_mod=max(1, n // 500),
     )
 
 

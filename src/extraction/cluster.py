@@ -66,18 +66,29 @@ def kmeans_assign(
     k: int = 4,
     iters: int = 2,
     dims: int = 64,
+    fit_mod: int = 1,
 ) -> tuple[DataFrame, dict[int, list[int]]]:
     """Fit quantized Lloyd k-means and return the FINAL per-point
     assignment: (DataFrame(id, qv, cl, dist), final centroid dict).
 
-    Init: the k points with the lowest ids (deterministic, no RNG).
-    Each iteration: broadcast-packed argmin assignment (ties -> lowest
-    cid), then integer-mean centroid update; clusters that receive no
-    points keep their previous centroid. The returned DataFrame is the
-    lazy final-assignment plan (narrow over the checkpointed quantized
-    points — callers that consume it more than once should
-    localCheckpoint it first, same discipline as dedup's signature
-    tables).
+    Init: the k lowest-id points of the FIT SAMPLE (deterministic, no
+    RNG; cluster labels are those seed ids). Each iteration:
+    broadcast-packed argmin assignment (ties -> lowest cid), then
+    integer-mean centroid update; clusters that receive no points keep
+    their previous centroid. The returned DataFrame assigns the FULL
+    corpus and is a lazy plan — callers that consume it more than once
+    should localCheckpoint it first (dedup signature-table discipline).
+
+    ``fit_mod``: the Lloyd ITERATIONS run on the deterministic sample
+    ``id % fit_mod == 0`` (fit_mod=1 ⇒ fit on everything). This is the
+    SemDeDup/production shape — fit the centroid model on a sample,
+    pay exactly ONE full-corpus assignment pass per consumer — and it
+    is what keeps a k ∝ corpus-size operating point linear: fitting on
+    all points costs O(iters · n · k) which is O(n²/target_block) once
+    k scales with n, while a ~fixed-size sample makes the fit O(k ·
+    sample) and the full pass O(n · k) exactly once. Sampling changes
+    WHICH centroids are learned (mirrored bit-exactly by the oracle's
+    identical sample filter), not the exactness of anything downstream.
     """
     spark = df.sparkSession
     # quantize once; localCheckpoint so iteration i doesn't replay the
@@ -87,11 +98,12 @@ def kmeans_assign(
         F.col(id_col).cast("long").alias("id"),
         quantize_vec(F.col(vec_col)).alias("qv"),
     ).localCheckpoint(eager=False)
+    fitp = pts.filter(F.col("id") % fit_mod == 0) if fit_mod > 1 else pts
 
-    seeds = pts.filter(F.col("id") < k).collect()
+    seeds = fitp.orderBy("id").limit(k).collect()
     cents: dict[int, list[int]] = {int(r["id"]): list(r["qv"]) for r in seeds}
     if len(cents) < k:
-        raise ValueError(f"need ids 0..{k - 1} present for deterministic init")
+        raise ValueError(f"need at least k={k} distinct-id points in the fit sample")
 
     def packed_cents() -> DataFrame:
         cdf = spark.createDataFrame(
@@ -105,7 +117,7 @@ def kmeans_assign(
             )
         )
 
-    def assigned() -> DataFrame:
+    def assigned(src: DataFrame = pts) -> DataFrame:
         # argmin fold over the packed (sorted-by-cid) centroid array:
         # strict < keeps the lowest cid on distance ties. Distance is
         # computed ONCE per centroid inside the transform (no CSE
@@ -137,7 +149,7 @@ def kmeans_assign(
         # one select would plant the whole fold tree twice (CollapseProject
         # keeps the two-step form because the fold is not cheap)
         return (
-            pts.crossJoin(packed_cents())
+            src.crossJoin(packed_cents())
             .select("id", "qv", best.alias("__b"))
             .select(
                 "id",
@@ -149,7 +161,7 @@ def kmeans_assign(
 
     for _ in range(iters):
         sums = (
-            assigned()
+            assigned(fitp)
             .groupBy("cl")
             .agg(
                 F.count("*").alias("n"),
@@ -209,6 +221,7 @@ def semantic_near_pairs(
     dims: int = 64,
     threshold_num: int = 2,
     threshold_den: int = 5,
+    fit_mod: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: k-means clusters
     as the blocking key, exact cosine >= num/den within each cluster.
@@ -241,7 +254,9 @@ def semantic_near_pairs(
     not replay the Lloyd iterations twice (house discipline, see
     dedup._lsh_banded).
     """
-    asg, _ = kmeans_assign(df, vec_col, id_col, k=k, iters=iters, dims=dims)
+    asg, _ = kmeans_assign(
+        df, vec_col, id_col, k=k, iters=iters, dims=dims, fit_mod=fit_mod
+    )
     feat = asg.select(
         "id",
         "cl",
@@ -303,6 +318,7 @@ def semantic_near_pairs_multi(
     dims: int = 64,
     threshold_num: int = 2,
     threshold_den: int = 5,
+    fit_mod: int = 1,
 ) -> DataFrame:
     """SemDeDup with TOP-2 cluster assignment — the nprobe=2 recall
     recovery for the single-assignment form's cluster-boundary blind
@@ -326,7 +342,9 @@ def semantic_near_pairs_multi(
     fold uses strict <, so equal distances keep the lowest cid in both
     slots.
     """
-    _, cents = kmeans_assign(df, vec_col, id_col, k=k, iters=iters, dims=dims)
+    _, cents = kmeans_assign(
+        df, vec_col, id_col, k=k, iters=iters, dims=dims, fit_mod=fit_mod
+    )
     spark = df.sparkSession
     pts = df.select(
         F.col(id_col).cast("long").alias("id"),

@@ -268,6 +268,72 @@ def test_semantic_multi_matches_mirror_and_recovers_boundary_pairs(spark, seed, 
     assert single <= set(got)
 
 
+def test_semantic_sample_fit_matches_mirror(spark):
+    """fit_mod=3: the Lloyd loop runs on ids % 3 == 0 only (seeds = the
+    k lowest sample ids), but the FULL corpus is assigned and paired —
+    pinned against a mirror with the identical sample filter."""
+    from extraction.cluster import semantic_near_pairs
+
+    rng = random.Random(29)
+    vecs = []
+    for i in range(60):
+        if i >= 8 and i % 5 == 0:
+            base = vecs[i - 4][1]
+            vecs.append((i, [v + rng.uniform(-0.02, 0.02) for v in base]))
+        else:
+            vecs.append((i, [rng.uniform(-0.5, 0.5) for _ in range(64)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>").repartition(4)
+    got = {
+        (r["id_a"], r["id_b"], r["cluster"])
+        for r in semantic_near_pairs(
+            df, "embedding", "vec_id", k=4, iters=2,
+            threshold_num=9, threshold_den=10, fit_mod=3,
+        ).collect()
+    }
+
+    # mirror: fit on the sample, assign everything
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    pts = {i: [math.floor(f32(v) * 16384.0) for v in vec] for i, vec in vecs}
+    fit_ids = sorted(i for i in pts if i % 3 == 0)
+    cents = {i: pts[i][:] for i in fit_ids[:4]}
+
+    def assign(p):
+        best = (1 << 62, -1)
+        for cid in sorted(cents):
+            d = sum((a - b) * (a - b) for a, b in zip(p, cents[cid]))
+            if d < best[0]:
+                best = (d, cid)
+        return best[1]
+
+    for _ in range(2):
+        sums = {}
+        for i in fit_ids:
+            c = assign(pts[i])
+            s, n = sums.get(c, ([0] * 64, 0))
+            sums[c] = ([a + b for a, b in zip(s, pts[i])], n + 1)
+        for c, (s, n) in sums.items():
+            cents[c] = [v // n for v in s]
+    blocks: dict[int, list[int]] = {}
+    for i, p in pts.items():
+        blocks.setdefault(assign(p), []).append(i)
+    norms = {i: sum(v * v for v in p) for i, p in pts.items()}
+    want = set()
+    for cl, ids in blocks.items():
+        ids.sort()
+        for xi in range(len(ids)):
+            for yi in range(xi + 1, len(ids)):
+                a, b = ids[xi], ids[yi]
+                dot = sum(p * q for p, q in zip(pts[a], pts[b]))
+                if dot > 0 and dot * dot * 100 >= 81 * norms[a] * norms[b]:
+                    want.add((a, b, cl))
+    assert len(want) > 0
+    assert got == want
+    # cluster labels are SEED ids: all from the fit sample
+    assert {c for _, _, c in got} <= set(fit_ids[:4])
+
+
 def test_semantic_near_pairs_zero_norm_never_pairs(spark):
     """Zero vectors fail dot > 0 and must not pair with anything (the
     NaN-cosine guard rule shared with similarity.cosine)."""
