@@ -277,7 +277,11 @@ def main() -> int:
             "source": f"BENCH/{src} (taskset-pinned budgets)",
         }
         reps = []
-        for name in ("scaling_1m_pinned_r3.json", "scaling_1m_pinned_r3b.json"):
+        for name in (
+            "scaling_1m_pinned_r3e.json",
+            "scaling_1m_pinned_r3.json",
+            "scaling_1m_pinned_r3b.json",
+        ):
             if name == src:
                 continue
             try:
