@@ -1966,6 +1966,23 @@ def q_dedup_semantic_probe2(spark, sf_dir):
     )
 
 
+def q_dedup_semantic_sampled(spark, sf_dir):
+    """The SAMPLE-FIT SemDeDup path, driver-checked in its own right:
+    Lloyd iterations run on vec_id % 5 == 0 only (the production
+    fit-on-a-sample shape that keeps a k ∝ n operating point linear —
+    see cluster.kmeans_assign), then the FULL corpus is assigned once
+    and paired exactly. Pinning this path with its own oracle means
+    the scale form — not just the fit-on-everything oracle point — is
+    value-hash-verified."""
+    from extraction.cluster import semantic_near_pairs
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    return semantic_near_pairs(
+        e, "embedding", "vec_id", k=4, iters=2, threshold_num=2,
+        threshold_den=5, fit_mod=5,
+    )
+
+
 def q_s7_jsonl_roundtrip(spark, sf_dir):
     """JSONL sink + source round-trip — the training-data interchange
     format (every public corpus ships as JSONL). The corpus is written
@@ -2233,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_probe2": q_dedup_semantic_probe2,
         "s9_upsert_recrawl": q_s9_upsert_recrawl,
         "text_oov_rate": q_text_oov_rate,
+        "dedup_semantic_sampled": q_dedup_semantic_sampled,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

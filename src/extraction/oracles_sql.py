@@ -1626,14 +1626,22 @@ FROM pl p LEFT JOIN perdoc d ON p.doc_id = d.doc_id
 """
 
 
-def _kmeans_ctes(k: int = 4, iters: int = 2, dims: int = 64, grid: int = 16384) -> str:
+def _kmeans_ctes(
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    grid: int = 16384,
+    fit_mod: int = 1,
+) -> str:
     """Shared unrolled quantized-Lloyd CTE chain (mirror of
     cluster.kmeans_assign): assignment by integer squared distance
     (ties -> lowest cid), centroid update by exact euclidean floor
     division, empty clusters keep their previous centroid. All
     arithmetic int64 — bit-identical to Spark. Ends with `aF` (final
-    assignment: vec_id, cid, dist, rn; rows with rn = 1 are the
-    assignment) and `cents{iters}` (final centroids)."""
+    FULL-corpus assignment: vec_id, cid, dist, rn; rows with rn = 1
+    are the assignment) and `cents{iters}` (final centroids).
+    ``fit_mod`` mirrors the sample-fit path: seeds and Lloyd
+    iterations run on vec_id % fit_mod = 0 only."""
     dist = (
         f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
         f"i -> (p.qv[i] - c.mv[i]) * (p.qv[i] - c.mv[i]))) AS BIGINT)"
@@ -1652,14 +1660,17 @@ def _kmeans_ctes(k: int = 4, iters: int = 2, dims: int = 64, grid: int = 16384) 
                         x -> CAST(floor(CAST(x AS DOUBLE) * {grid}) AS BIGINT)) AS qv
   FROM embeddings
 )""",
+        f"""fitp AS (
+  SELECT * FROM pts WHERE vec_id % {fit_mod} = 0
+)""",
         f"""cents0 AS (
-  SELECT vec_id AS cid, qv AS mv FROM pts WHERE vec_id < {k}
+  SELECT vec_id AS cid, qv AS mv FROM fitp ORDER BY vec_id LIMIT {k}
 )""",
     ]
     for t in range(iters):
         ctes.append(f"""d{t} AS (
   SELECT p.vec_id, p.qv, c.cid, {dist} AS dist
-  FROM pts p CROSS JOIN cents{t} c
+  FROM fitp p CROSS JOIN cents{t} c
 ), a{t} AS (
   SELECT vec_id, qv, cid, dist,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -1686,11 +1697,17 @@ dF AS (
 )"""
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 2, dims: int = 64, grid: int = 16384) -> str:
+def _kmeans_oracle(
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    grid: int = 16384,
+    fit_mod: int = 1,
+) -> str:
     """Final per-cluster stats over the shared Lloyd CTE chain —
     mirror of cluster.kmeans_quantized."""
     return f"""
-WITH {_kmeans_ctes(k, iters, dims, grid)},
+WITH {_kmeans_ctes(k, iters, dims, grid, fit_mod)},
 fin AS (
   SELECT cid, COUNT(*) AS n_points, SUM(dist) AS wcss
   FROM aF WHERE rn = 1 GROUP BY cid
@@ -1718,6 +1735,7 @@ def _semantic_dedup_oracle(
     grid: int = 16384,
     num: int = 2,
     den: int = 5,
+    fit_mod: int = 1,
 ) -> str:
     """SemDeDup mirror of cluster.semantic_near_pairs: the shared
     Lloyd CTE chain assigns every point to a cluster, then pairs are
@@ -1730,7 +1748,7 @@ def _semantic_dedup_oracle(
         f"i -> x.qv[i] * y.qv[i])) AS BIGINT)"
     )
     return f"""
-WITH {_kmeans_ctes(k, iters, dims, grid)},
+WITH {_kmeans_ctes(k, iters, dims, grid, fit_mod)},
 feat AS (
   SELECT a.vec_id, a.cid, p.qv,
          CAST(list_sum(list_transform(p.qv, v -> v * v)) AS BIGINT) AS n2
@@ -1762,6 +1780,7 @@ def _semantic_dedup_probe2_oracle(
     grid: int = 16384,
     num: int = 2,
     den: int = 5,
+    fit_mod: int = 1,
 ) -> str:
     """Top-2-assignment SemDeDup mirror (cluster.semantic_near_pairs_multi):
     every point belongs to its TWO nearest final centroids (rn <= 2 of
@@ -1773,7 +1792,7 @@ def _semantic_dedup_probe2_oracle(
         f"i -> x.qv[i] * y.qv[i])) AS BIGINT)"
     )
     return f"""
-WITH {_kmeans_ctes(k, iters, dims, grid)},
+WITH {_kmeans_ctes(k, iters, dims, grid, fit_mod)},
 feat AS (
   SELECT a.vec_id, a.cid, p.qv,
          CAST(list_sum(list_transform(p.qv, v -> v * v)) AS BIGINT) AS n2
@@ -1797,6 +1816,12 @@ GROUP BY id_a, id_b
 
 
 ORACLES["dedup_semantic_probe2"] = _semantic_dedup_probe2_oracle()
+
+# the SAMPLE-FIT scale path, driver-checked in its own right: Lloyd
+# iterations on vec_id % 5 = 0 (100 of 500 points), full-corpus
+# assignment and exact pairing — the operating shape the entry queries
+# use at any sf where n // 500 > 1
+ORACLES["dedup_semantic_sampled"] = _semantic_dedup_oracle(fit_mod=5)
 
 
 # S7 JSONL round-trip: the Spark query writes the corpus as line-JSON,
