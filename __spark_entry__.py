@@ -1983,6 +1983,29 @@ def q_dedup_semantic_sampled(spark, sf_dir):
     )
 
 
+def q_dedup_semantic_arrow(spark, sf_dir):
+    """SemDeDup on the ARROW assignment kernel — the scale form for a
+    k ∝ corpus-size operating point. Identical semantics and identical
+    oracle to dedup_semantic (the two assignment paths are bit-equal:
+    same int64 arithmetic, same first-minimum/lowest-cid tie rule —
+    tests/test_cluster_passages.py pins it; BENCH/KMEANS.md measures
+    the crossover: the expression fold is O(k·dims) interpreted ops
+    per point and hits 58 s at k=1024 on 20k vectors where the numpy
+    matmul inside mapInArrow holds 1.6 s flat and reaches k=8192 at
+    5.5 s). This row exists so the production assignment path — not
+    just the JVM-expression oracle-point path — is value-hash-verified
+    by the driver."""
+    from extraction.cluster import semantic_near_pairs
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    n = e.count()
+    k = max(4, (n + 124) // 125)
+    return semantic_near_pairs(
+        e, "embedding", "vec_id", k=k, iters=2, threshold_num=2,
+        threshold_den=5, fit_mod=max(1, n // 500), assign="arrow",
+    )
+
+
 def q_s7_jsonl_roundtrip(spark, sf_dir):
     """JSONL sink + source round-trip — the training-data interchange
     format (every public corpus ships as JSONL). The corpus is written
@@ -2251,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_upsert_recrawl": q_s9_upsert_recrawl,
         "text_oov_rate": q_text_oov_rate,
         "dedup_semantic_sampled": q_dedup_semantic_sampled,
+        "dedup_semantic_arrow": q_dedup_semantic_arrow,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

@@ -43,6 +43,85 @@ from pyspark.sql import functions as F
 
 GRID = 16384  # 2^14 quantization grid
 
+# rows-per-numpy-chunk × k is bounded at ~2^22 distance cells so the
+# Arrow assigner's working set stays ~32 MB regardless of k (at k=50k
+# that is 84-row chunks; at k=16 the whole Arrow batch goes in one shot)
+_ARROW_CELL_BUDGET = 1 << 22
+
+
+def _arrow_assigner(cents: dict[int, list[int]], top2: bool = False):
+    """Build the mapInArrow assignment kernel: each Arrow batch of
+    (id, qv) is scored against the captured centroid matrix with one
+    int64 matmul — dist(q,c) = |q|² + |c|² − 2·q·c, algebraically the
+    same Σ(a−b)² the packed-fold form computes, in the same int64, so
+    the two paths are bit-identical (argmin takes the FIRST minimum and
+    the centroid matrix is sorted by cid ⇒ distance ties keep the
+    lowest cid, exactly the fold's strict-< rule; top-2 masks the
+    winner to +inf and argmins again ⇒ ROW_NUMBER() OVER (ORDER BY
+    dist, cid) = 2, the DuckDB mirror's rule).
+
+    This is the SCALE form of assignment. The packed-fold expression is
+    plan-size-safe (one array literal-free broadcast row) but evaluates
+    through Spark's interpreted higher-order functions — O(k·dims)
+    interpreted ops per point, unusable at SemDeDup's k≈50k lists. The
+    Arrow kernel does the same arithmetic as one BLAS-shaped batch
+    matmul per ~2^22-cell chunk; the centroid model ships inside the
+    task closure (model-sized, like MLlib KMeans), the corpus still
+    never shuffles to be assigned, and the north-rule API contract
+    ("vectorized pandas/Arrow UDFs, no per-row Python") is the same one
+    the extraction kernel itself rides (pipeline.extract mapInArrow).
+    Measured crossover vs the fold form: BENCH/KMEANS.md.
+    """
+    import numpy as np
+
+    cids = np.array(sorted(cents), dtype=np.int64)
+    cmat = np.array([cents[int(c)] for c in cids], dtype=np.int64)
+    c2 = np.einsum("kd,kd->k", cmat, cmat)
+    far = np.iinfo(np.int64).max
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            idx_id = b.schema.get_field_index("id")
+            idx_qv = b.schema.get_field_index("qv")
+            qv_arr = b.column(idx_qv)
+            q = np.asarray(qv_arr.flatten(), dtype=np.int64).reshape(n, -1)
+            q2 = np.einsum("nd,nd->n", q, q)
+            cl1 = np.empty(n, dtype=np.int64)
+            d1 = np.empty(n, dtype=np.int64)
+            if top2:
+                cl2 = np.empty(n, dtype=np.int64)
+            chunk = max(1, _ARROW_CELL_BUDGET // max(1, len(cids)))
+            for s in range(0, n, chunk):
+                e = min(n, s + chunk)
+                # int64 throughout: |q|,|c| ≤ grid·|x|; 64-dim dot ≤ 2^43
+                # at |x| ≤ 100 — far inside int64 (module docstring bounds)
+                d = q2[s:e, None] + c2[None, :] - 2 * (q[s:e] @ cmat.T)
+                i1 = d.argmin(axis=1)
+                rows = np.arange(e - s)
+                cl1[s:e] = cids[i1]
+                d1[s:e] = d[rows, i1]
+                if top2:
+                    if len(cids) < 2:
+                        cl2[s:e] = -1
+                    else:
+                        d[rows, i1] = far
+                        cl2[s:e] = cids[d.argmin(axis=1)]
+            cols = [b.column(idx_id), qv_arr]
+            if top2:
+                cols += [pa.array(cl1), pa.array(cl2), pa.array(q2)]
+                names = ["id", "qv", "c1", "c2", "n2"]
+            else:
+                cols += [pa.array(cl1), pa.array(d1)]
+                names = ["id", "qv", "cl", "dist"]
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return fn
+
 
 def quantize_vec(vec: Column, grid: int = GRID) -> Column:
     """array<float> -> array<long> on the integer grid (exact: see module
@@ -67,9 +146,18 @@ def kmeans_assign(
     iters: int = 2,
     dims: int = 64,
     fit_mod: int = 1,
+    assign: str = "fold",
 ) -> tuple[DataFrame, dict[int, list[int]]]:
     """Fit quantized Lloyd k-means and return the FINAL per-point
     assignment: (DataFrame(id, qv, cl, dist), final centroid dict).
+
+    ``assign``: "fold" scores each point against the broadcast-packed
+    centroid array with an expression argmin (JVM-side, zero Python —
+    the plan-audit / oracle-point form; interpreted-HOF cost O(k·dims)
+    per point caps it at hundreds of centroids); "arrow" runs the same
+    int64 arithmetic as a vectorized numpy matmul inside mapInArrow
+    (the scale form for k ∝ corpus-size — see _arrow_assigner). The
+    two are bit-identical; tests pin it.
 
     Init: the k lowest-id points of the FIT SAMPLE (deterministic, no
     RNG; cluster labels are those seed ids). Each iteration:
@@ -118,6 +206,14 @@ def kmeans_assign(
         )
 
     def assigned(src: DataFrame = pts) -> DataFrame:
+        if assign == "arrow":
+            # snapshot the mutable centroid dict at closure-build time
+            # (the Lloyd loop rebinds entries between iterations; the
+            # numpy matrix is materialized eagerly inside _arrow_assigner)
+            return src.mapInArrow(
+                _arrow_assigner(dict(cents)),
+                schema="id long, qv array<long>, cl long, dist long",
+            )
         # argmin fold over the packed (sorted-by-cid) centroid array:
         # strict < keeps the lowest cid on distance ties. Distance is
         # computed ONCE per centroid inside the transform (no CSE
@@ -222,6 +318,7 @@ def semantic_near_pairs(
     threshold_num: int = 2,
     threshold_den: int = 5,
     fit_mod: int = 1,
+    assign: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: k-means clusters
     as the blocking key, exact cosine >= num/den within each cluster.
@@ -255,7 +352,8 @@ def semantic_near_pairs(
     dedup._lsh_banded).
     """
     asg, _ = kmeans_assign(
-        df, vec_col, id_col, k=k, iters=iters, dims=dims, fit_mod=fit_mod
+        df, vec_col, id_col, k=k, iters=iters, dims=dims, fit_mod=fit_mod,
+        assign=assign,
     )
     feat = asg.select(
         "id",
@@ -319,6 +417,7 @@ def semantic_near_pairs_multi(
     threshold_num: int = 2,
     threshold_den: int = 5,
     fit_mod: int = 1,
+    assign: str = "fold",
 ) -> DataFrame:
     """SemDeDup with TOP-2 cluster assignment — the nprobe=2 recall
     recovery for the single-assignment form's cluster-boundary blind
@@ -343,13 +442,22 @@ def semantic_near_pairs_multi(
     slots.
     """
     _, cents = kmeans_assign(
-        df, vec_col, id_col, k=k, iters=iters, dims=dims, fit_mod=fit_mod
+        df, vec_col, id_col, k=k, iters=iters, dims=dims, fit_mod=fit_mod,
+        assign=assign,
     )
     spark = df.sparkSession
     pts = df.select(
         F.col(id_col).cast("long").alias("id"),
         quantize_vec(F.col(vec_col)).alias("qv"),
     )
+    if assign == "arrow":
+        # top-2 + |q|² in one vectorized pass (see _arrow_assigner);
+        # same materialize-before-explode discipline as the fold path
+        feat = pts.mapInArrow(
+            _arrow_assigner(dict(cents), top2=True),
+            schema="id long, qv array<long>, c1 long, c2 long, n2 long",
+        ).localCheckpoint(eager=False)
+        return _pair_within_blocks(feat, threshold_num, threshold_den)
     cdf = spark.createDataFrame(
         sorted(cents.items()), schema="cid long, mv array<long>"
     )
@@ -410,6 +518,18 @@ def semantic_near_pairs_multi(
         )
         .localCheckpoint(eager=False)
     )
+    return _pair_within_blocks(feat, threshold_num, threshold_den)
+
+
+def _pair_within_blocks(
+    feat: DataFrame, threshold_num: int, threshold_den: int
+) -> DataFrame:
+    """Shared top-2 pair stage: explode the two block memberships,
+    equi-join within blocks, integer-exact cosine test in
+    decimal(38,0), dedupe pairs seen in both shared blocks.
+    ``feat`` must carry (id, qv, c1, c2, n2) and already be
+    materialization-safe to consume twice (localCheckpoint-ed)."""
+    threshold_num, threshold_den = int(threshold_num), int(threshold_den)
     mem = feat.select(
         "id", "qv", "n2", F.explode(F.array("c1", "c2")).alias("cl")
     )

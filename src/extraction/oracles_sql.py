@@ -1823,6 +1823,12 @@ ORACLES["dedup_semantic_probe2"] = _semantic_dedup_probe2_oracle()
 # use at any sf where n // 500 > 1
 ORACLES["dedup_semantic_sampled"] = _semantic_dedup_oracle(fit_mod=5)
 
+# the ARROW assignment kernel (cluster._arrow_assigner): bit-identical
+# to the fold form by construction, so the oracle is the SAME SQL as
+# dedup_semantic — the row pins the production (numpy-matmul mapInArrow)
+# path to the identical values the expression path produces
+ORACLES["dedup_semantic_arrow"] = _semantic_dedup_oracle()
+
 
 # S7 JSONL round-trip: the Spark query writes the corpus as line-JSON,
 # reads it back with a declared schema, and aggregates; the oracle

@@ -367,3 +367,57 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert {c: (r["n_points"], r["wcss"], r["centroid_digest"]) for c, r in got.items()} == {
         c: (n, w, digests[c]) for c, (n, w) in stats.items()
     }
+
+
+@pytest.mark.parametrize("seed,n,k", [(7, 80, 4), (23, 120, 9)])
+def test_arrow_assignment_bit_equals_fold(spark, seed, n, k):
+    """The Arrow matmul assignment kernel (cluster._arrow_assigner)
+    must be bit-identical to the packed-fold expression on every
+    surface it replaces: per-point (cl, dist), the final centroid
+    model, single-assignment pairs, and top-2 pairs — including
+    distance TIES (the planted duplicate vectors tie exactly; both
+    paths must keep the lowest cid)."""
+    from extraction.cluster import (
+        kmeans_assign,
+        semantic_near_pairs,
+        semantic_near_pairs_multi,
+    )
+
+    rng = random.Random(seed)
+    vecs = []
+    for i in range(n):
+        if i >= 10 and i % 7 == 0:
+            vecs.append((i, list(vecs[i - 5][1])))  # exact duplicate -> ties
+        elif i >= 8 and i % 5 == 0:
+            base = vecs[i - 4][1]
+            vecs.append((i, [v + rng.uniform(-0.02, 0.02) for v in base]))
+        else:
+            vecs.append((i, [rng.uniform(-0.5, 0.5) for _ in range(64)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>").repartition(5)
+
+    af, cf = kmeans_assign(df, "embedding", "vec_id", k=k, iters=2, fit_mod=2, assign="fold")
+    aa, ca = kmeans_assign(df, "embedding", "vec_id", k=k, iters=2, fit_mod=2, assign="arrow")
+    assert cf == ca
+    assert {(r["id"], r["cl"], r["dist"]) for r in af.collect()} == {
+        (r["id"], r["cl"], r["dist"]) for r in aa.collect()
+    }
+
+    for fn, cols in (
+        (semantic_near_pairs, ("id_a", "id_b", "cluster")),
+        (semantic_near_pairs_multi, ("id_a", "id_b", "n_shared_blocks")),
+    ):
+        fold = {
+            tuple(r[c] for c in cols)
+            for r in fn(
+                df, "embedding", "vec_id", k=k, iters=2,
+                threshold_num=9, threshold_den=10,
+            ).collect()
+        }
+        arrow = {
+            tuple(r[c] for c in cols)
+            for r in fn(
+                df, "embedding", "vec_id", k=k, iters=2,
+                threshold_num=9, threshold_den=10, assign="arrow",
+            ).collect()
+        }
+        assert fold == arrow and len(fold) > 0

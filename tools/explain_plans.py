@@ -728,6 +728,42 @@ def main() -> int:
         },
     )
 
+    # Arrow k-means assignment (the k ∝ corpus-size scale form,
+    # BENCH/KMEANS.md): the corpus reaches its block id through ONE
+    # mapInArrow stage — no join, no shuffle before blocking; the only
+    # exchanges are the pair stage's equi-join on cl downstream
+    from extraction.cluster import kmeans_assign, semantic_near_pairs
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    # the assignment stage in isolation (the full query localCheckpoints
+    # it, which truncates lineage to Scan ExistingRDD in the final plan)
+    asg, _ = kmeans_assign(emb, "embedding", "vec_id", k=4, iters=1, assign="arrow")
+    asg.collect()
+    asgsimple = asg._jdf.queryExecution().executedPlan().toString()
+    sa = semantic_near_pairs(
+        emb, "embedding", "vec_id", k=4, iters=1, threshold_num=2,
+        threshold_den=5, assign="arrow",
+    )
+    sa.collect()
+    sasimple = sa._jdf.queryExecution().executedPlan().toString()
+    check(
+        "dedup semantic ARROW assignment (vectorized matmul kernel)",
+        plan_of(asg) + "\n\n-- full query (pair stage) --\n\n" + plan_of(sa),
+        {
+            "assignment is ONE Arrow stage over the scan (MapInArrow; "
+            "no join, no shuffle — the centroid model rides the task "
+            "closure)": ("MapInArrow" in asgsimple or "PythonMapInArrow" in asgsimple)
+            and "Exchange" not in asgsimple
+            and "Join" not in asgsimple,
+            "no cartesian / nested-loop anywhere":
+                "Cartesian" not in sasimple and "NestedLoop" not in sasimple
+                and "Cartesian" not in asgsimple,
+            "pair stage stays an equi-join on the block key":
+                "SortMergeJoin" in sasimple or "ShuffledHashJoin" in sasimple
+                or "BroadcastHashJoin" in sasimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
