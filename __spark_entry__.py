@@ -1983,6 +1983,20 @@ def q_dedup_semantic_sampled(spark, sf_dir):
     )
 
 
+def q_text_boilerplate_ngrams(spark, sf_dir):
+    """Per-source boilerplate k-gram screen (dedup.boilerplate_ngram_
+    stats): grams occurring in >= 2 distinct docs of the same source
+    are template/boilerplate; per doc, count the gram hits and the
+    DISTINCT token positions a strip pass would remove. The corpus-
+    level statistical twin of the north_star's DOM-heuristic
+    boilerplate strip (the in-document seat is the classifier's
+    class-0 background, /root/reference/src/DocumentAnalyzer.py:52-59)."""
+    from extraction.dedup import boilerplate_ngram_stats
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    return boilerplate_ngram_stats(d, "text", "doc_id", "source", k=3, min_df=2)
+
+
 def q_dedup_semantic_arrow(spark, sf_dir):
     """SemDeDup on the ARROW assignment kernel — the scale form for a
     k ∝ corpus-size operating point. Identical semantics and identical
@@ -2275,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_oov_rate": q_text_oov_rate,
         "dedup_semantic_sampled": q_dedup_semantic_sampled,
         "dedup_semantic_arrow": q_dedup_semantic_arrow,
+        "text_boilerplate_ngrams": q_text_boilerplate_ngrams,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

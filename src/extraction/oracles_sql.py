@@ -1823,6 +1823,50 @@ ORACLES["dedup_semantic_probe2"] = _semantic_dedup_probe2_oracle()
 # use at any sf where n // 500 > 1
 ORACLES["dedup_semantic_sampled"] = _semantic_dedup_oracle(fit_mod=5)
 
+# per-source boilerplate k-gram screen (dedup.boilerplate_ngram_stats):
+# positional 3-grams over the normalized text, df counted as DISTINCT
+# docs within (source, gram), grams with df >= 2 are boilerplate; per
+# doc the oracle counts gram hits (distinct positions) and the distinct
+# token positions those hits cover — identical tokenization to the
+# Spark side (lower / strip-punct / collapse-ws / drop-empties).
+# Position bases differ (Spark posexplode 0-based, SQL range 1-based)
+# but only DISTINCT counts are emitted, which are base-invariant.
+_BP_K = 3
+_BP_GRAM = " || ' ' || ".join(f"ws[i+{j}]" for j in range(_BP_K))
+ORACLES["text_boilerplate_ngrams"] = rf"""
+WITH norm AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS t
+  FROM documents
+), wsed AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS ws
+  FROM norm
+), occ AS (
+  SELECT doc_id, source, i AS pos, {_BP_GRAM} AS g
+  FROM wsed, LATERAL (SELECT unnest(range(1, len(ws) - {_BP_K - 2})) AS i) gi
+  WHERE len(ws) >= {_BP_K}
+), boiler AS (
+  SELECT source, g FROM occ GROUP BY source, g
+  HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN boiler b USING (source, g)
+), cov AS (
+  SELECT doc_id,
+         count(DISTINCT pos) AS n_boiler_grams,
+         count(DISTINCT tp) AS n_boiler_tokens
+  FROM hits, LATERAL (SELECT unnest(range(pos, pos + {_BP_K})) AS tp) ti
+  GROUP BY doc_id
+)
+SELECT w.doc_id AS id,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n_boiler_grams, 0) AS BIGINT) AS n_boiler_grams,
+       CAST(coalesce(c.n_boiler_tokens, 0) AS BIGINT) AS n_boiler_tokens
+FROM wsed w LEFT JOIN cov c USING (doc_id)
+"""
+
+
 # the ARROW assignment kernel (cluster._arrow_assigner): bit-identical
 # to the fold form by construction, so the oracle is the SAME SQL as
 # dedup_semantic — the row pins the production (numpy-matmul mapInArrow)

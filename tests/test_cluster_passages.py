@@ -421,3 +421,55 @@ def test_arrow_assignment_bit_equals_fold(spark, seed, n, k):
             ).collect()
         }
         assert fold == arrow and len(fold) > 0
+
+
+def test_boilerplate_ngram_stats_fixture(spark):
+    """Hand-built corpus: a shared 'footer' phrase within a source is
+    boilerplate; the same phrase in another source is NOT (df is per
+    source); within-doc repetition alone never qualifies; coverage
+    counts DISTINCT token positions (overlapping grams don't double-
+    count)."""
+    from extraction.dedup import boilerplate_ngram_stats
+
+    rows = [
+        # srcA: docs 0,1 share "visit our site" (+ punctuation/case noise)
+        (0, "Visit our site! alpha beta gamma", "srcA"),
+        (1, "delta VISIT our site epsilon", "srcA"),
+        # doc2: repeats a gram twice WITHIN itself only -> not boilerplate
+        (2, "zeta eta theta zeta eta theta", "srcA"),
+        # srcB: has "visit our site" once — alone in its source -> content
+        (3, "visit our site iota kappa", "srcB"),
+        (4, "mu nu", "srcB"),  # < k words -> no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string").repartition(3)
+    got = {
+        r["id"]: (r["n_tokens"], r["n_boiler_grams"], r["n_boiler_tokens"])
+        for r in boilerplate_ngram_stats(df, "text", "doc_id", "source", k=3, min_df=2).collect()
+    }
+    # doc0: tokens [visit,our,site,alpha,beta,gamma]; 1 boiler gram covers 3
+    assert got[0] == (6, 1, 3)
+    # doc1: [delta,visit,our,site,epsilon]; 1 gram at pos1 covers 3
+    assert got[1] == (5, 1, 3)
+    # doc2: within-doc repetition only -> ("zeta eta theta" df=1)
+    assert got[2] == (6, 0, 0)
+    # doc3: srcB's only occurrence -> content
+    assert got[3] == (5, 0, 0)
+    assert got[4] == (2, 0, 0)
+
+
+def test_boilerplate_overlap_coverage_not_double_counted(spark):
+    """Two docs sharing a 5-word run produce 3 overlapping boilerplate
+    3-grams; coverage must be 5 positions (the union), not 9."""
+    from extraction.dedup import boilerplate_ngram_stats
+
+    rows = [
+        (0, "one two three four five tail0 x", "s"),
+        (1, "head1 one two three four five y", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["id"]: (r["n_tokens"], r["n_boiler_grams"], r["n_boiler_tokens"])
+        for r in boilerplate_ngram_stats(df, "text", "doc_id", "source", k=3, min_df=2).collect()
+    }
+    assert got[0] == (7, 3, 5)
+    assert got[1] == (7, 3, 5)

@@ -728,6 +728,29 @@ def main() -> int:
         },
     )
 
+    # per-source boilerplate k-gram screen: df agg combines map-side;
+    # the boilerplate set joins back WITHOUT a forced broadcast (AQE
+    # sizes it — ADVICE r2 discipline); only hits explode to positions
+    from extraction.dedup import boilerplate_ngram_stats
+
+    bp = boilerplate_ngram_stats(
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")),
+        "text", "doc_id", "source", k=3, min_df=2,
+    )
+    bp.collect()
+    bpsimple = bp._jdf.queryExecution().executedPlan().toString()
+    check(
+        "text boilerplate ngrams (per-source df screen + coverage)",
+        plan_of(bp),
+        {
+            "df / coverage aggs combine map-side (partial)":
+                "partial_count" in bpsimple,
+            "no cartesian / nested-loop anywhere":
+                "Cartesian" not in bpsimple and "NestedLoop" not in bpsimple,
+            "no Python in the hot path": "Python" not in bpsimple,
+        },
+    )
+
     # Arrow k-means assignment (the k ∝ corpus-size scale form,
     # BENCH/KMEANS.md): the corpus reaches its block id through ONE
     # mapInArrow stage — no join, no shuffle before blocking; the only
