@@ -1997,6 +1997,99 @@ def q_text_boilerplate_ngrams(spark, sf_dir):
     return boilerplate_ngram_stats(d, "text", "doc_id", "source", k=3, min_df=2)
 
 
+def q_dedup_url_canonical(spark, sf_dir):
+    """URL-level dedup via canonicalization (the C4/CCNet crawl-dedup
+    key: two fetches of the same resource under different raw URLs are
+    one document). Raw crawl URLs are derived deterministically per doc
+    — scheme http/https, host case, a leading www., utm_* tracking
+    params, a trailing slash, and a fragment all vary by doc_id
+    arithmetic (the synth-input idiom of multimodal_meta);
+    textops.canonical_url folds the variants; the groupBy elects
+    min(doc_id) as keeper and count(DISTINCT raw) witnesses that
+    canonicalization actually merged distinct raw forms. Reference
+    analog: the filename-keyed artifact identity,
+    /root/reference/src/HelperMethods.py:142-157.
+
+    Scale shape: derivation + the six regexp passes are ONE narrow
+    JVM projection (no Python); the only shuffle is the final
+    groupBy(canonical) with map-side partial agg — URL dedup at 100 TB
+    is exactly one exchange over |urls| short strings."""
+    from extraction.textops import canonical_url
+
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    host = F.concat(F.lit("src"), s(i % 20), F.lit(".example.com"))
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(i % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.upper(host)).otherwise(host),
+        F.lit("/docs/"),
+        s(i % 400),
+        F.when(i % 11 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 17 == 0, F.concat(F.lit("?page="), s(i % 3 + 1))).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            i % 7 == 0,
+            F.when(i % 17 == 0, F.lit("&utm_source=feed")).otherwise(
+                F.concat(F.lit("?utm_source=feed&utm_campaign=c"), s(i % 2))
+            ),
+        ).otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.concat(F.lit("#sec"), s(i % 4))).otherwise(F.lit("")),
+    )
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    raw = d.select(i.cast("long").alias("doc_id"), url.alias("url"))
+    return (
+        raw.select("doc_id", "url", canonical_url(F.col("url")).alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_raw_forms"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+def q_corpus_datacard(spark, sf_dir):
+    """Per-language corpus data card — the one-page report a dataset
+    release ships (docs, exact-dup mass, token/char mass, quality
+    distribution), composed from the same textops expressions the
+    filtering operators use, so the card's numbers are the pipeline's
+    numbers. All counters are exact integers (no float means) so the
+    value hash is bit-stable under any partitioning.
+
+    Scale shape: one narrow projection computes fingerprint/tokens/
+    quality per doc; the ONLY exchanges are the two-phase distinct agg
+    on (lang, fp) then lang — |langs| rows out. At 100 TB this is the
+    cheapest full-corpus pass there is; swap count(DISTINCT fp) for an
+    HLL sketch when ±2% suffices (the exact form stays the oracle, the
+    dedup_ngram_jaccard exact-vs-scale split)."""
+    from extraction.textops import fingerprint, quality_score, token_count_ws
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    per_doc = d.select(
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        quality_score(F.col("text")).cast("long").alias("q"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_unique_docs"),
+        (F.count("*") - F.countDistinct("fp")).cast("long").alias("n_dup_docs"),
+        F.sum("n_tok").cast("long").alias("token_mass"),
+        F.sum("n_chars").cast("long").alias("char_mass"),
+        F.sum("q").cast("long").alias("quality_mass"),
+        F.sum(F.when(F.col("q") < 50, 1).otherwise(0)).cast("long").alias(
+            "n_low_quality"
+        ),
+    )
+
+
 def q_dedup_semantic_arrow(spark, sf_dir):
     """SemDeDup on the ARROW assignment kernel — the scale form for a
     k ∝ corpus-size operating point. Identical semantics and identical
@@ -2290,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_sampled": q_dedup_semantic_sampled,
         "dedup_semantic_arrow": q_dedup_semantic_arrow,
         "text_boilerplate_ngrams": q_text_boilerplate_ngrams,
+        "dedup_url_canonical": q_dedup_url_canonical,
+        "corpus_datacard": q_corpus_datacard,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

@@ -1867,6 +1867,90 @@ FROM wsed w LEFT JOIN cov c USING (doc_id)
 """
 
 
+# per-language corpus data card (q_corpus_datacard): composes the SAME
+# expressions as text_fingerprint / text_token_counts / text_quality —
+# the card's numbers are the pipeline's numbers. All exact integers.
+ORACLES["corpus_datacard"] = f"""
+WITH per_doc AS (
+  SELECT lang,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fp,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         {_QUALITY_EXPR} AS q
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+       CAST(sum(n_tok) AS BIGINT) AS token_mass,
+       CAST(sum(n_chars) AS BIGINT) AS char_mass,
+       CAST(sum(q) AS BIGINT) AS quality_mass,
+       CAST(sum(CASE WHEN q < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+FROM per_doc
+GROUP BY lang
+"""
+
+
+# URL-level dedup via canonicalization (textops.canonical_url +
+# q_dedup_url_canonical): the raw-URL derivation and the six
+# canonicalization regexp passes are mirrored exactly. Rules in order:
+# strip fragment; strip utm_* params; promote a stranded leading '&' to
+# '?' (anchored — fires at most once, DuckDB's default first-match
+# replace is therefore equivalent to Spark's global replace); strip
+# scheme; strip www.; lowercase the host only; strip trailing '/' runs
+# before '?' or end. Patterns are in the Java-regex ∩ RE2 dialect (no
+# lookarounds — RE2 lacks them); backreference syntax differs ($1 vs \1)
+# but semantics agree.
+ORACLES["dedup_url_canonical"] = r"""
+WITH raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+      || (CASE WHEN doc_id % 3 = 0
+               THEN upper('src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com')
+               ELSE 'src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' END)
+      || '/docs/' || CAST(doc_id % 400 AS VARCHAR)
+      || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+      || (CASE WHEN doc_id % 17 = 0
+               THEN '?page=' || CAST(doc_id % 3 + 1 AS VARCHAR) ELSE '' END)
+      || (CASE WHEN doc_id % 7 = 0
+               THEN CASE WHEN doc_id % 17 = 0 THEN '&utm_source=feed'
+                         ELSE '?utm_source=feed&utm_campaign=c'
+                              || CAST(doc_id % 2 AS VARCHAR) END
+               ELSE '' END)
+      || (CASE WHEN doc_id % 13 = 0
+               THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS url
+  FROM documents
+), stripped AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(regexp_replace(url, '#.*$', ''),
+                              '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+               '^([^?]*)&', '\1?'),
+             '^https?://', ''),
+           '^www\.', '') AS c4
+  FROM raw
+), canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           lower(regexp_extract(c4, '^[^/?#]*'))
+             || regexp_replace(c4, '^[^/?#]*', ''),
+           '/+(\?|$)', '\1', 'g') AS canon
+  FROM stripped
+)
+SELECT canon,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+       min(doc_id) AS keeper_id
+FROM canon
+GROUP BY canon
+"""
+
+
 # the ARROW assignment kernel (cluster._arrow_assigner): bit-identical
 # to the fold form by construction, so the oracle is the SAME SQL as
 # dedup_semantic — the row pins the production (numpy-matmul mapInArrow)

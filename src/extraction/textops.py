@@ -109,6 +109,38 @@ def fingerprint64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def canonical_url(col: Column) -> Column:
+    """URL canonicalization for URL-level dedup (the C4/CCNet crawl-dedup
+    key): two raw URLs that differ only in scheme (http/https), host
+    case, a leading ``www.``, tracking parameters (``utm_*``), a URL
+    fragment, or a trailing slash canonicalize to the same string.
+    Reference analog: the filename-keyed artifact identity that joins
+    a document's stages (/root/reference/src/HelperMethods.py:142-157)
+    — here the identity key is the normalized URL instead.
+
+    Rules, in order (each a single JVM-side regexp pass — narrow, no
+    Python, patterns restricted to the Java-regex ∩ RE2 dialect so the
+    DuckDB oracle is bit-exact; NO lookarounds, RE2 lacks them):
+      1. strip the fragment (``#...``);
+      2. strip ``utm_*`` tracking params (value runs to ``&``/end);
+      3. if a surviving param lost its leading ``?`` to rule 2 (it now
+         follows the path with a bare ``&``), promote that ``&`` to
+         ``?`` — anchored, so it fires at most once and never touches
+         a legitimate ``&`` after a real ``?``;
+      4. drop the scheme (http ≡ https) and a leading ``www.``;
+      5. lowercase the HOST only (paths are case-sensitive);
+      6. drop trailing ``/`` runs before end-of-string or ``?``.
+    """
+    u = F.regexp_replace(col, "#.*$", "")
+    u = F.regexp_replace(u, "[?&]utm_[a-z]+=[^&#]*", "")
+    u = F.regexp_replace(u, "^([^?]*)&", "$1?")
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, "^www\\.", "")
+    host = F.lower(F.regexp_extract(u, "^[^/?#]*", 0))
+    u = F.concat(host, F.regexp_replace(u, "^[^/?#]*", ""))
+    return F.regexp_replace(u, "/+(\\?|$)", "$1")
+
+
 def word_shingles_seq(col: Column, k: int = 3) -> Column:
     """POSITIONAL k-word shingles of the normalized text, in document
     order with duplicates kept (array<string>) — the form winnowing and

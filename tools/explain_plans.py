@@ -787,6 +787,35 @@ def main() -> int:
         },
     )
 
+    # URL-canonicalization dedup: derivation + six regexp passes are ONE
+    # narrow codegen'd projection; the only exchange is the final
+    # groupBy(canonical) with map-side partial agg — no join, no Python
+    import __spark_entry__ as entry
+
+    uc = entry.q_dedup_url_canonical(spark, SF_DIR)
+    uc.collect()
+    # AQE's toString prints Final AND Initial plans — count on the final
+    ucsimple = (
+        uc._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    )
+    check(
+        "dedup url canonical (crawl-key dedup)",
+        plan_of(uc),
+        {
+            "the textbook two-phase distinct-agg shape: hash exchange on "
+            "(canon, url) then on canon — count(DISTINCT raw) costs one "
+            "extra keyed exchange, both map-side combined; the roundrobin "
+            "is _par's test-scale scan spreader, a no-op at production "
+            "scale":
+                ucsimple.count("Exchange hashpartitioning") == 2
+                and ucsimple.count("Exchange hashpartitioning(canon") == 2,
+            "agg combines map-side (partial)": "partial_count" in ucsimple,
+            "no join / cartesian (a dedup with no pair expansion)":
+                "Join" not in ucsimple and "Cartesian" not in ucsimple,
+            "no Python in the hot path": "Python" not in ucsimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
