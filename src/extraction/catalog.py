@@ -195,3 +195,88 @@ def merge_upsert(
         .localCheckpoint(eager=True)
     )
     merged.write.mode("overwrite").parquet(ref)
+
+
+def compact_files(
+    spark: SparkSession,
+    ref: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    schema: StructType | None = None,
+) -> dict:
+    """Small-file compaction — the maintenance pass every streaming or
+    per-bucket-committing sink needs (a 10^12-doc corpus written in
+    256-bucket commit groups accumulates millions of sub-target files;
+    scan parallelism then pays a task per file and the NameNode/manifest
+    pays an entry per file).
+
+    Table branch: Iceberg's own maintenance procedure —
+    ``CALL <cat>.system.rewrite_data_files(table => ...)`` — bin-packs
+    small files into target-sized ones as ONE atomic snapshot commit
+    (readers see pre- or post-compaction, never a mix; time travel keeps
+    the old snapshot until expiry).
+
+    Path-branch granularity: an UNPARTITIONED dir, or one LEAF dir of a
+    hive-partitioned sink (compact `out/partition_id=7/`, not `out/` —
+    a root rewrite would demote the partition columns to data columns).
+    The table branch has no such caveat; Iceberg rewrites per-partition
+    bin-packs under one commit.
+
+    Path branch (parquet fallback): measure total bytes via the Hadoop
+    FS ContentSummary (works on any scheme, no driver globbing), size
+    ``n_out = ceil(total / target_file_bytes)``, rewrite through
+    ``coalesce(n_out)`` — coalesce merges sibling partitions WITHOUT a
+    shuffle, the right verb when the problem is many-small not skew —
+    into a sibling temp dir, then swap via two FS renames. The rename
+    window is documented NON-atomic (a reader racing the swap can miss
+    the dir); the table branch exists precisely because only a catalog
+    commit can make compaction invisible. No-ops (returns unchanged
+    stats) when the file count already meets the target.
+    """
+    if is_table_ref(ref):
+        name = require_catalog(spark, ref)
+        cat, rest = name.split(".", 1)
+        row = spark.sql(
+            f"CALL {cat}.system.rewrite_data_files("
+            f"table => '{rest}', "
+            f"options => map('target-file-size-bytes', '{target_file_bytes}'))"
+        ).head()
+        return {
+            "rewritten_files": int(row[0]),
+            "added_files": int(row[1]),
+            "atomic": True,
+        }
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(ref)
+    fs = path.getFileSystem(hconf)
+    summary = fs.getContentSummary(path)
+    total_bytes = int(summary.getLength())
+    df = read_back(spark, ref, schema)
+    files_before = len(df.inputFiles())
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+    if files_before <= n_out:
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "atomic": False,
+            "skipped": True,
+        }
+    tmp = jvm.org.apache.hadoop.fs.Path(ref.rstrip("/") + ".compact.tmp")
+    old = jvm.org.apache.hadoop.fs.Path(ref.rstrip("/") + ".pre-compact")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    df.coalesce(n_out).write.mode("overwrite").parquet(str(tmp))
+    if not fs.rename(path, old):
+        raise IOError(f"compact_files: rename {ref} -> {old} failed")
+    if not fs.rename(tmp, path):
+        fs.rename(old, path)  # roll back; corpus untouched
+        raise IOError(f"compact_files: rename {tmp} -> {ref} failed")
+    fs.delete(old, True)
+    files_after = len(read_back(spark, ref, schema).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "atomic": False,
+        "skipped": False,
+    }

@@ -121,3 +121,39 @@ def test_merge_upsert_path_branch_semantics(spark, tmp_path):
     C.merge_upsert(spark, path, updates, "doc_id")
     again = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_compact_files_path_branch(spark, tmp_path):
+    """Fragmented parquet (32 files for ~rows that fit in one) compacts
+    to the ContentSummary-derived target; the row SET survives exactly;
+    an already-compact dir is a no-op; the table branch fails fast on an
+    unconfigured catalog (the CALL would need the Iceberg jar)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    ref = str(tmp_path / "frag")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).cast("long").alias("v")
+    )
+    df.repartition(32).write.parquet(ref)
+    before = spark.read.parquet(ref)
+    n_files = len(before.inputFiles())
+    assert n_files >= 32
+    expect = sorted((r["k"], r["v"]) for r in before.collect())
+
+    stats = C.compact_files(spark, ref, target_file_bytes=64 * 1024 * 1024)
+    assert stats["skipped"] is False
+    assert stats["files_before"] == n_files
+    assert stats["files_after"] < n_files
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(ref).collect())
+    assert got == expect
+    # no temp/backup dirs left behind
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "frag"]
+    assert leftovers == []
+
+    again = C.compact_files(spark, ref, target_file_bytes=64 * 1024 * 1024)
+    assert again["skipped"] is True
+    assert again["files_after"] == stats["files_after"]
+
+    with _pytest.raises(ValueError, match="spark.sql.catalog.noice"):
+        C.compact_files(spark, "table:noice.db.docs")
