@@ -2090,6 +2090,126 @@ def q_corpus_datacard(spark, sf_dir):
     )
 
 
+def q_corpus_snapshot_diff(spark, sf_dir):
+    """Crawl-to-crawl snapshot diff — the audit report behind the
+    re-crawl upsert seam (catalog.merge_upsert): per lang, how many
+    docs were ADDED, REMOVED, CHANGED (same id, different content
+    fingerprint), or UNCHANGED between two corpus versions. The
+    two crawls are derived deterministically from the one table (the
+    synth-input idiom of multimodal_meta): the new crawl dropped
+    id % 23 == 0 docs (→ removed), the old crawl lacked id % 19 == 0
+    docs (→ added), and id % 7 == 0 docs carried an older text
+    (→ changed); everything else is unchanged.
+
+    Scale shape: both sides are corpus-sized, so the diff is the honest
+    big-big FULL OUTER equi-join on doc_id (sort-merge; no broadcast
+    pretense), comparing md5 fingerprints; the per-(lang, status) agg
+    map-side combines to |langs|×4 rows. With both crawls bucketed on
+    doc_id at write time (bucketing.py) the join plans with zero
+    exchanges — the bucketed_join_stats seat composes directly."""
+    from extraction.textops import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    cur = (
+        _par(spark, d)
+        .filter(F.col("doc_id") % 23 != 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            fingerprint(F.col("text")).alias("fp"),
+        )
+    )
+    prev = (
+        _par(spark, d)
+        .filter(F.col("doc_id") % 19 != 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            fingerprint(
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v1"))
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+    )
+    j = cur.alias("c").join(
+        prev.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("c.fp") != F.col("p.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("c.lang"), F.col("p.lang")).alias("lang"),
+            status.alias("status"),
+        )
+        .groupBy("lang", "status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def q_t10_curriculum_shards(spark, sf_dir):
+    """Curriculum shard layout: the corpus range-sharded into S=8
+    shards by EXACT global (quality, doc_id) rank — the write layout a
+    curriculum-ordered trainer streams (shard 0 = lowest-quality
+    octile, shard 7 = highest; within-shard order free). The report is
+    the per-shard witness (n_docs, min_q, max_q): shard sizes differ by
+    at most 1 and quality ranges tile without overlap.
+
+    Spark's own repartitionByRange samples boundaries (RangePartitioner
+    is approximate and non-deterministic — unusable under a value-hash
+    gate), so the exact rank is built the same two-phase way
+    pack_sequences builds its global cumsum:
+    - quality is a BOUNDED small-int domain (≤ ~120 distinct values),
+      so groupBy(q).count() collapses map-side to a histogram that is
+      MODEL-sized, not corpus-sized — it collects to the driver like
+      the k-means centroid table and returns as a literal-map prefix
+      (docs with strictly smaller q);
+    - the within-q tie-break is row_number() over a window PARTITIONED
+      by q (ordered by doc_id) — no SinglePartition funnel anywhere
+      (plan-asserted);
+    - rank0 = prefix[q] + rn − 1; shard = (rank0 · S) div n, exact
+      integer arithmetic in both engines."""
+    from extraction.textops import quality_score
+
+    S = 8
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    per = d.select(
+        F.col("doc_id").cast("long").alias("id"),
+        quality_score(F.col("text")).cast("long").alias("q"),
+    ).localCheckpoint(eager=True)
+    hist = sorted((r["q"], r["n"]) for r in per.groupBy("q").agg(
+        F.count("*").alias("n")).collect())
+    n = sum(c for _, c in hist)
+    prefix, acc = {}, 0
+    for qv, c in hist:
+        prefix[qv] = acc
+        acc += c
+    pmap = F.create_map(
+        *[F.lit(x) for qv in prefix for x in (qv, prefix[qv])]
+    )
+    w = Window.partitionBy("q").orderBy("id")
+    ranked = per.select(
+        "id",
+        "q",
+        (pmap[F.col("q")] + F.row_number().over(w) - 1).alias("rank0"),
+    )
+    return (
+        ranked.select(
+            "q", F.expr(f"(rank0 * {S}) div {n}").cast("long").alias("shard")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+    )
+
+
 def q_dedup_semantic_arrow(spark, sf_dir):
     """SemDeDup on the ARROW assignment kernel — the scale form for a
     k ∝ corpus-size operating point. Identical semantics and identical
@@ -2385,6 +2505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_ngrams": q_text_boilerplate_ngrams,
         "dedup_url_canonical": q_dedup_url_canonical,
         "corpus_datacard": q_corpus_datacard,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "t10_curriculum_shards": q_t10_curriculum_shards,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

@@ -1893,6 +1893,60 @@ GROUP BY lang
 """
 
 
+# crawl-to-crawl snapshot diff (q_corpus_snapshot_diff): the two crawls
+# derive from the one table — new crawl dropped id % 23 == 0 (removed),
+# old crawl lacked id % 19 == 0 (added), id % 7 == 0 text differed
+# (changed); full outer join on doc_id, md5-fingerprint comparison,
+# per-(lang, status) counts. Fingerprint expr = the text_fingerprint one.
+_FP_EXPR = (
+    "md5(trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g')))"
+)
+ORACLES["corpus_snapshot_diff"] = f"""
+WITH cur AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         {_FP_EXPR.format(t="text")} AS fp
+  FROM documents WHERE doc_id % 23 <> 0
+), prev AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         {_FP_EXPR.format(t="CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END")} AS fp
+  FROM documents WHERE doc_id % 19 <> 0
+)
+SELECT coalesce(c.lang, p.lang) AS lang,
+       CASE WHEN p.doc_id IS NULL THEN 'added'
+            WHEN c.doc_id IS NULL THEN 'removed'
+            WHEN c.fp <> p.fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+
+# curriculum shard layout (q_t10_curriculum_shards): exact global
+# (quality, doc_id) rank → shard = (rank0 * 8) // n; per-shard counts
+# and quality range. The oracle can afford the single-order window the
+# Spark side refuses (DuckDB is one process; the Spark form is the
+# two-phase histogram-prefix + per-q window — same math, no funnel).
+ORACLES["t10_curriculum_shards"] = f"""
+WITH per AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, {_QUALITY_EXPR} AS q
+  FROM documents
+), r AS (
+  SELECT q,
+         row_number() OVER (ORDER BY q, id) - 1 AS rank0,
+         count(*) OVER () AS n
+  FROM per
+)
+SELECT CAST((rank0 * 8) // n AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(q) AS min_q,
+       max(q) AS max_q
+FROM r
+GROUP BY 1
+"""
+
+
 # URL-level dedup via canonicalization (textops.canonical_url +
 # q_dedup_url_canonical): the raw-URL derivation and the six
 # canonicalization regexp passes are mirrored exactly. Rules in order:

@@ -816,6 +816,29 @@ def main() -> int:
         },
     )
 
+    # curriculum shards: the exact-global-rank layout must NOT plan a
+    # SinglePartition window (the funnel Spark's row_number-over-all
+    # would force); the only window is partitioned by q
+    cs = entry.q_t10_curriculum_shards(spark, SF_DIR)
+    cs.collect()
+    cssimple = (
+        cs._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    )
+    check(
+        "curriculum shards (exact global rank, two-phase)",
+        plan_of(cs),
+        {
+            "no SinglePartition exchange (the global-order funnel is "
+            "replaced by histogram-prefix + per-q window)":
+                "SinglePartition" not in cssimple,
+            "the one window is PARTITIONED (by q)":
+                "windowspecdefinition(q#" in cssimple,
+            "no join / cartesian": "Join" not in cssimple
+                and "Cartesian" not in cssimple,
+            "no Python in the hot path": "Python" not in cssimple,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
