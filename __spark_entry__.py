@@ -2210,6 +2210,100 @@ def q_t10_curriculum_shards(spark, sf_dir):
     )
 
 
+def q_ann_sq8_top1(spark, sf_dir):
+    """Brute-force ANN over int8 SCALAR-QUANTIZED codes with a per-query
+    exact-hit witness — the compressed-index memory path (similarity.
+    sq8_topk): at 100 TB the float32 vector table is the dominant
+    footprint, and the SQ8 scan reads 4x fewer bytes while ranking by a
+    pure-int64 dot product (associative — no IEEE fold-order discipline).
+
+    The corpus embeddings are unit-norm, so dot ranking IS cosine
+    ranking and the `exact_hit` column isolates true quantization error:
+    it joins the SQ8 top-1 against the float brute-force top-1 per
+    query. The quantization scale is a power of two (floor(x·2^7)) so
+    code assignment is bit-exact across engines — no float-division
+    rounding seam. Plan shape matches ann_bruteforce_top1: query side
+    broadcast, corpus never shuffles."""
+    from extraction.similarity import brute_force_topk, sq8_topk
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 30)
+    sq = sq8_topk(e, q, "embedding", "vec_id", k=1, shift=7).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+    bf = brute_force_topk(e, q, "embedding", "vec_id", k=1).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("bf_nid"),
+    )
+    return sq.join(bf, "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce(
+            (F.col("neighbor_id") == F.col("bf_nid")).cast("long"), F.lit(0)
+        ).alias("exact_hit"),
+    )
+
+
+def q_corpus_hll_registers(spark, sf_dir):
+    """Mergeable cardinality sketch: per-(lang, register) HyperLogLog
+    register maxima over the normalized-text fingerprint (textops.
+    hll_register) — the sketch corpus_datacard's exact n_distinct
+    becomes at petabyte scale. The whole update is one
+    groupBy(lang, bucket).max(rho): algebraic, map-side combining, and
+    mergeable across shards/days by elementwise MAX without rescanning
+    (tests/test_hll_merge.py pins half∪half == whole). Output is m=64
+    INTEGER registers per lang — the float estimate is a driver-side
+    postprocess on 64 ints and stays out of the hash-gated contract.
+    Everything is integer (md5-derived 60-bit hash; lowest-set-bit
+    position via bin()-length, no float log2)."""
+    from extraction.textops import hll_register, normalize_text
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    bucket, rho = hll_register(normalize_text(F.col("text")), m=64)
+    return (
+        d.select(F.col("lang"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def q_t11_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) write layout over (quality, ws-token-count) —
+    multi-column clustering so range predicates on EITHER dimension
+    prune files (textops.zorder_interleave; the Delta/Iceberg OPTIMIZE
+    ZORDER seat). Both dims are 7-bit small-int domains (quality
+    [0,100], token count [10,99] at every sf — clamped to [0,127]);
+    shard = zval div 1024 puts each shard on an ALIGNED 2^10-cell
+    z-block, which is exactly a 32x32 rectangle in (q, t) space. The
+    per-shard min/max witness columns prove the locality: every shard's
+    quality AND token ranges are both bounded by 32 — a total order on
+    one column would show the other column's full range in every shard.
+    Pure shift/and/add integer arithmetic, one agg shuffle, |shards|
+    rows out."""
+    from extraction.textops import quality_score, token_count_ws, zorder_interleave
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    q = F.least(quality_score(F.col("text")), F.lit(127).cast("long"))
+    t = F.least(token_count_ws(F.col("text")), F.lit(127).cast("long"))
+    z = zorder_interleave(q, t, bits=7)
+    return (
+        d.select(
+            F.shiftright(z, 10).cast("long").alias("shard"),
+            q.alias("q"),
+            t.alias("t"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+            F.min("t").alias("min_t"),
+            F.max("t").alias("max_t"),
+        )
+    )
+
+
 def q_dedup_semantic_arrow(spark, sf_dir):
     """SemDeDup on the ARROW assignment kernel — the scale form for a
     k ∝ corpus-size operating point. Identical semantics and identical
@@ -2507,6 +2601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": q_corpus_datacard,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "t10_curriculum_shards": q_t10_curriculum_shards,
+        "ann_sq8_top1": q_ann_sq8_top1,
+        "corpus_hll_registers": q_corpus_hll_registers,
+        "t11_zorder_layout": q_t11_zorder_layout,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row

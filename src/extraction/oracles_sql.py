@@ -2115,3 +2115,87 @@ WITH d AS (
 SELECT r.lang, CAST(t.pct AS BIGINT) AS pct, CAST(r.n_tokens AS BIGINT) AS n_tokens
 FROM ranked r JOIN targets t ON r.lang = t.lang AND r.rn = t.target
 """
+
+
+# SQ8 quantized ANN (q_ann_sq8_top1): symmetric int8 quantization with
+# a power-of-two scale (floor(x*128) clamped to [-128,127] — exact in
+# IEEE, no float-division rounding seam), ranked by the integer code
+# dot product (associative, so no fold-order discipline), tie lowest
+# neighbor_id; exact_hit joins against the float brute-force top-1.
+_SQ8_CODES = (
+    "list_transform({v}, x -> CAST(greatest(-128.0, least(127.0, "
+    "floor(CAST(x AS DOUBLE) * 128.0))) AS BIGINT))"
+)
+_SQ8_DOT = " + ".join(f"qc[{d}] * cc[{d}]" for d in range(1, 65))
+ORACLES["ann_sq8_top1"] = f"""
+WITH codes AS (
+  SELECT vec_id, {_SQ8_CODES.format(v="embedding")} AS code FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.code AS qc, c.code AS cc
+  FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 30
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY ({_SQ8_DOT}) DESC, neighbor_id ASC) AS rn
+  FROM scored
+), sq AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rn = 1
+), bf AS (
+  SELECT query_id, neighbor_id AS bf_nid FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cosine_expr("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 30
+  ) WHERE rn = 1
+)
+SELECT CAST(sq.query_id AS BIGINT) AS query_id,
+       CAST(sq.neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(coalesce(CASE WHEN sq.neighbor_id = bf.bf_nid THEN 1 ELSE 0 END, 0) AS BIGINT) AS exact_hit
+FROM sq LEFT JOIN bf USING (query_id)
+"""
+
+
+# HLL register maxima (q_corpus_hll_registers): 60-bit md5 hash of the
+# normalized-text fingerprint; bucket = h % 64, w = h >> 6; rho = 1-based
+# position of w's lowest set bit via bit_count(lowest-1)+1 (w==0 pins to
+# 55). All integer — mirrors textops.hll_register bit for bit.
+ORACLES["corpus_hll_registers"] = f"""
+WITH h AS (
+  SELECT lang,
+         CAST(concat('0x', substr({_FP_EXPR.format(t="text")}, 1, 15)) AS BIGINT) AS h
+  FROM documents
+), reg AS (
+  SELECT lang, h % 64 AS bucket, h >> 6 AS w FROM h
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN w = 0 THEN 55
+                     ELSE bit_count((w - (w & (w - 1))) - 1) + 1 END) AS BIGINT) AS max_rho
+FROM reg GROUP BY 1, 2
+"""
+
+
+# z-order layout (q_t11_zorder_layout): Morton-interleave 7 bits of
+# quality (clamped to 127) with 7 bits of ws-token count; shard = z >> 10
+# (aligned 1024-cell z-blocks = 32x32 rectangles in (q, t) space); the
+# min/max witness columns prove two-dimensional locality.
+_Z_BITS = " + ".join(
+    f"((q >> {i}) & 1) * {1 << (2 * i)} + ((t >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(7)
+)
+ORACLES["t11_zorder_layout"] = f"""
+WITH d AS (
+  SELECT LEAST({_QUALITY_EXPR}, 127) AS q,
+         LEAST({_WS_COUNT}, 127) AS t
+  FROM documents
+), z AS (
+  SELECT q, t, ({_Z_BITS}) AS zval FROM d
+)
+SELECT CAST(zval >> 10 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q,
+       CAST(min(t) AS BIGINT) AS min_t, CAST(max(t) AS BIGINT) AS max_t
+FROM z GROUP BY 1
+"""

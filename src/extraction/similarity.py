@@ -389,3 +389,91 @@ def bucketed_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def sq8_codes(vec: Column, shift: int = 7) -> Column:
+    """Scalar-quantize a float vector to int8 codes — the compressed
+    storage form a 100 TB ANN index actually scans (4x smaller than
+    float32, 8x smaller than float64; the corpus-side vector table is
+    the dominant footprint at scale, and integer dot products SIMD-
+    vectorize where float ones don't always).
+
+    code_d = clamp(floor(x_d * 2^shift), -128, 127). The scale is a
+    POWER OF TWO on purpose: multiplying an IEEE float by 2^k is exact
+    (exponent arithmetic, no mantissa rounding), so quantization is
+    bit-reproducible across engines — no float-division rounding seam
+    between Spark and the SQL oracle. shift=7 covers embeddings with
+    components in (-1, 1) at full int8 resolution; a production
+    calibration picks the largest shift with max|x|*2^shift <= 127
+    from one global abs-max scalar aggregate (a tiny model artifact,
+    like the IVF centroid table) and stays exact because the result is
+    still a power of two.
+    """
+    s = float(1 << shift)
+    return F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-128).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x.cast("double") * F.lit(s)).cast("long"),
+            ),
+        ),
+    )
+
+
+def sq8_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two code vectors. Pure int64 arithmetic —
+    associative, so map-side combining and any evaluation order give
+    the same bits (no IEEE fold-order discipline needed, unlike
+    cosine_sim)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 1,
+    shift: int = 7,
+) -> DataFrame:
+    """Brute-force top-k over SYMMETRIC int8-quantized vectors: both
+    sides quantized once (a narrow projection), candidates ranked by the
+    integer code dot product. Same join geometry as brute_force_topk —
+    query side broadcast, corpus never shuffles — but the scanned
+    payload is 64 int8-range codes per row instead of 64 doubles, which
+    is the difference between an in-memory and a spilling scan at 100 TB.
+    Composes with the LSH/IVF blockers (quantize the in-bucket scan);
+    kept separate here so the quantization error is measured in
+    isolation (q_ann_sq8_top1 carries the exact-hit witness per query).
+
+    Ranking by integer dot == ranking by dequantized dot (codes scale
+    by the same 2^-shift both sides), so the ONLY divergence from
+    brute force is true quantization error. Ties: lowest neighbor_id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        sq8_codes(F.col(vec_col), shift).alias("cc"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        sq8_codes(F.col(vec_col), shift).alias("qc"),
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+        "qid", "nid", sq8_dot(F.col("qc"), F.col("cc")).alias("dot")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

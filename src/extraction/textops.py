@@ -408,3 +408,66 @@ def distinctive_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "rk", "term", "tf", "df")
     )
+
+
+def hll_register(col: Column, m: int = 64) -> tuple[Column, Column]:
+    """(bucket, rho) for a HyperLogLog register update over a 60-bit
+    md5-derived hash of ``col`` — the mergeable cardinality sketch a
+    100 TB pipeline substitutes for exact count-distinct (the
+    corpus_datacard's n_distinct at petabyte scale is a sketch merge,
+    not a two-phase distinct shuffle; this op is that sketch's exact,
+    oracle-checkable core).
+
+    - bucket = h mod m (low bits pick the register, m a power of two)
+    - rho = position of the lowest set bit of w = h div m, counted from
+      1; the "geometric observable" whose per-bucket MAX estimates
+      log2(n/m). w == 0 (prob 2^-54) pins to the max 55.
+
+    Everything is integer: the lowest-set-bit position is derived as
+    bit_count(lowest_set_bit - 1) + 1 (bit_count of 2^p - 1 is p) —
+    no float log2, no string round-trip. groupBy(lang,
+    bucket).max(rho) is algebraic: it map-side combines, merges across
+    partitions/days/shards by elementwise MAX, and never rescans — the
+    whole point of the sketch (tests/test_hll_merge.py pins the merge
+    law; the estimate itself is a float postprocess on m integers and
+    stays OUT of the hash-gated output).
+    """
+    if m & (m - 1) or m <= 0:
+        raise ValueError(f"m must be a power of two, got {m}")
+    shift = m.bit_length() - 1
+    h = fingerprint64(col)
+    bucket = (h % F.lit(m)).cast("long")
+    # h div m via shiftright: h is up to 2^60, and float division would
+    # lose the LOW bits (53-bit mantissa) — exactly the bits rho reads
+    w = F.shiftright(h, shift).cast("long")
+    # lowest set bit of w: w & -w == w & (~w + 1); Spark lacks unary
+    # bitwise minus on columns, so use (w - (w & (w-1))) — strips all
+    # but the lowest set bit with +,-,& only (portable to ANSI SQL)
+    low = w - w.bitwiseAND(w - F.lit(1))
+    rho = F.when(w == 0, F.lit(55).cast("long")).otherwise(
+        (F.bit_count(low - F.lit(1)) + F.lit(1)).cast("long")
+    )
+    return bucket, rho
+
+
+def zorder_interleave(a: Column, b: Column, bits: int = 7) -> Column:
+    """Z-order (Morton) key over two small-domain non-negative ints:
+    bit i of ``a`` lands at z-bit 2i, bit i of ``b`` at 2i+1. The
+    multi-column clustering key a lakehouse write layout sorts/ranges
+    on so that BOTH ``WHERE a BETWEEN ..`` and ``WHERE b BETWEEN ..``
+    predicates prune files — a total order on one column clusters one
+    dimension and scatters the other, while an aligned z-range of
+    2^(2k) cells is exactly a 2^k x 2^k rectangle in (a, b) space.
+
+    Pure shift/and/add arithmetic on both engines (no float, no UDF);
+    callers clamp inputs to [0, 2^bits). ~2*bits terms in the plan —
+    fine for the <=16-bit keys data-skipping layouts use.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+            + F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+    return z.cast("long")

@@ -839,6 +839,61 @@ def main() -> int:
         },
     )
 
+    # SQ8 quantized ANN: same geometry as brute force (queries broadcast,
+    # corpus never shuffles) — the compressed scan must not introduce a
+    # shuffle or a Python stage
+    sq = entry.q_ann_sq8_top1(spark, SF_DIR)
+    psq = plan_of(sq)
+    check(
+        "ann sq8_topk (int8 codes, broadcast queries)",
+        psq,
+        {
+            "query side broadcast": "BroadcastNestedLoopJoin" in psq
+            or "BroadcastHashJoin" in psq,
+            "no cartesian": "CartesianProduct" not in psq,
+            "no Python in the hot path": "Python" not in psq,
+        },
+    )
+
+    # HLL registers: ONE partial+final agg pair (map-side combine before
+    # the wire — the mergeable-sketch property in plan form)
+    hr = entry.q_corpus_hll_registers(spark, SF_DIR)
+    phr = plan_of(hr)
+    check(
+        "hll registers (one map-side-combined agg, no join)",
+        phr,
+        {
+            # _par's RoundRobin fan-out is test-only (no-op at scale);
+            # the AGG itself must cost exactly one hash exchange
+            "exactly one hash exchange": phr.count("hashpartitioning") == 1,
+            "partial agg before the shuffle": "partial_" in phr.lower()
+            or "HashAggregate" in phr,
+            "no join": "Join" not in phr,
+            "no Python in the hot path": "Python" not in phr,
+        },
+    )
+
+    # z-order layout: narrow interleave + one agg; and the RESULT must
+    # witness 2-D locality — every aligned 1024-cell z-block is a 32x32
+    # rectangle, so both per-shard ranges are bounded by 31
+    zo = entry.q_t11_zorder_layout(spark, SF_DIR)
+    pzo = plan_of(zo)
+    zrows = zo.collect()
+    check(
+        "zorder layout (narrow Morton key, bounded 2-D shard ranges)",
+        pzo,
+        {
+            "no join / window": "Join" not in pzo and "Window" not in pzo,
+            "no Python in the hot path": "Python" not in pzo,
+            "every shard's quality range <= 31": all(
+                r["max_q"] - r["min_q"] <= 31 for r in zrows
+            ),
+            "every shard's token range <= 31": all(
+                r["max_t"] - r["min_t"] <= 31 for r in zrows
+            ),
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
