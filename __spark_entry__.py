@@ -1040,6 +1040,27 @@ def q_dedup_decontaminate(spark, sf_dir):
     )
 
 
+def q_dedup_decontaminate_bloom(spark, sf_dir):
+    """Decontamination via a broadcast BLOOM FILTER of eval-set shingles
+    — the form the exact semi-join takes when the eval suite outgrows a
+    comfortable broadcast (dedup.bloom_decontaminate_stats): constant
+    executor memory (16 bits/shingle, packed int64 limbs in a map),
+    mergeable across eval shards by bitwise OR, probe entirely narrow
+    (3 md5 slices -> 3 map lookups -> bit tests; the corpus never
+    shuffles). m_bits scales with the eval set (next power of two >=
+    16*n) so the FP rate holds ~0.5% at every sf instead of saturating.
+    The single stats row carries its own verification vs the exact
+    semi-join: fn_docs MUST be 0 (blooms have no false negatives — the
+    value-hash gate pins it) and fp_docs is the measured cost of the
+    approximation."""
+    from extraction.dedup import bloom_decontaminate_stats
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") % 20 == 7)
+    train = d.filter(F.col("doc_id") % 20 != 7)
+    return bloom_decontaminate_stats(train, bench, "text", "doc_id", k=3)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup, blocked by sign-LSH bucket — the scale shape:
     the O(n²) cosine join runs only within buckets (16× fewer pairs at
@@ -2602,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "t10_curriculum_shards": q_t10_curriculum_shards,
         "ann_sq8_top1": q_ann_sq8_top1,
+        "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "corpus_hll_registers": q_corpus_hll_registers,
         "t11_zorder_layout": q_t11_zorder_layout,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,

@@ -392,6 +392,140 @@ def decontaminate_hits(
     )
 
 
+def bloom_decontaminate_stats(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    kh: int = 3,
+    bits_per_item: int = 16,
+) -> DataFrame:
+    """The production form decontaminate_hits' docstring promises: probe
+    a BLOOM FILTER of benchmark shingles instead of the exact distinct
+    set. At 100 TB the eval suite's shingle set can outgrow a
+    comfortable broadcast (tens of GB of strings); the bloom bitset is
+    m = 16 bits/item regardless of shingle length — constant executor
+    memory with a tunable false-positive rate, and the filter itself is
+    MERGEABLE (bitwise OR) across eval-suite shards, like the HLL
+    registers.
+
+    Fully deterministic and oracle-mirrorable: kh=3 bit positions per
+    shingle come from disjoint 32-bit md5 slices mod m_bits; m_bits is
+    the next power of two >= bits_per_item * n_distinct_shingles
+    (derived from one driver-side count, like the k-means fit_mod — so
+    the FP rate stays ~0.5% at every sf instead of saturating as the
+    eval set grows). The filter is packed 63 bits/limb into a
+    word_idx -> int64 map (63, not 64 — see the limb comment below), built by ONE groupBy(word_idx).bit_or(mask)
+    over kh*n tiny rows, packed to a single map row, and broadcast via
+    crossJoin (the ivf_join_topk model-artifact idiom). The corpus-side
+    probe is narrow: shingle -> 3 slices -> 3 map lookups -> bit tests;
+    corpus text never shuffles; only (doc_id, hits) rows reach the agg.
+
+    Returns ONE stats row that carries its own verification against the
+    exact semi-join (computed alongside, at test scale):
+      n_probed_docs (train docs with >= 1 shingle), docs_bloom_flagged, docs_exact_flagged,
+      fp_docs (bloom-only — the measured false-positive cost),
+      fn_docs (exact-only — MUST be 0: a bloom filter has no false
+      negatives, so a nonzero value is a correctness bug, and the
+      value-hash gate pins it),
+      bloom_shingle_hits, exact_shingle_hits.
+    """
+    bsh = (
+        bench.select(word_shingles(F.col(text_col), k).alias("shingles"))
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    n = bsh.count()
+    m_bits = 1 << max(6, (bits_per_item * max(n, 1) - 1).bit_length())
+
+    def positions(scol):
+        # kh disjoint 32-bit md5 slices mod m_bits — cheap, portable,
+        # independent enough for a bloom (md5 bits are uniform)
+        return [
+            F.conv(F.substring(F.md5(scol), 1 + 8 * j, 8), 16, 10).cast("long")
+            % F.lit(m_bits)
+            for j in range(kh)
+        ]
+
+    # 63-bit limbs (pos div 63 / pos mod 63), NOT 64: a shift of 63
+    # would set the int64 sign bit, which ANSI engines reject as left-
+    # shift overflow — 62 is the highest portable shift, and one spare
+    # bit per word costs ~1.6% space
+    ent = bsh.select(
+        F.explode(F.array(*positions(F.col("shingle")))).alias("pos")
+    )
+    words = (
+        ent.select(
+            F.expr("pos div 63").alias("wi"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("wi")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    packed = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("wi", "w"))).alias("__bloom")
+    )
+
+    tsh = train.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    pr = tsh.crossJoin(F.broadcast(packed))
+    for j, p in enumerate(positions(F.col("shingle"))):
+        pr = pr.withColumn(f"p{j}", p)
+    hit = F.lit(True)
+    for j in range(kh):
+        word = F.coalesce(
+            F.element_at(F.col("__bloom"), F.expr(f"p{j} div 63")),
+            F.lit(0).cast("long"),
+        )
+        bit = F.expr(f"shiftleft(cast(1 as bigint), cast(p{j} % 63 as int))")
+        hit = hit & (word.bitwiseAND(bit) != 0)
+    per_doc_bloom = (
+        pr.select("doc_id", hit.cast("long").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.sum("h").alias("bloom_hits"))
+    )
+    per_doc_exact = decontaminate_hits(train, bench, text_col, id_col, k=k).select(
+        "doc_id", F.col("n_hits").alias("exact_hits")
+    )
+    both = per_doc_bloom.join(per_doc_exact, "doc_id", "full_outer")
+    return both.agg(
+        F.count("*").cast("long").alias("n_probed_docs"),
+        F.sum((F.coalesce(F.col("bloom_hits"), F.lit(0)) > 0).cast("long"))
+        .cast("long")
+        .alias("docs_bloom_flagged"),
+        F.sum((F.coalesce(F.col("exact_hits"), F.lit(0)) > 0).cast("long"))
+        .cast("long")
+        .alias("docs_exact_flagged"),
+        F.sum(
+            (
+                (F.coalesce(F.col("bloom_hits"), F.lit(0)) > 0)
+                & (F.coalesce(F.col("exact_hits"), F.lit(0)) == 0)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("fp_docs"),
+        F.sum(
+            (
+                (F.coalesce(F.col("exact_hits"), F.lit(0)) > 0)
+                & (F.coalesce(F.col("bloom_hits"), F.lit(0)) == 0)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("fn_docs"),
+        F.sum(F.coalesce(F.col("bloom_hits"), F.lit(0)))
+        .cast("long")
+        .alias("bloom_shingle_hits"),
+        F.sum(F.coalesce(F.col("exact_hits"), F.lit(0)))
+        .cast("long")
+        .alias("exact_shingle_hits"),
+    )
+
+
 def verify_candidates(
     df: DataFrame,
     cands: DataFrame,

@@ -2199,3 +2199,73 @@ SELECT CAST(zval >> 10 AS BIGINT) AS shard,
        CAST(min(t) AS BIGINT) AS min_t, CAST(max(t) AS BIGINT) AS max_t
 FROM z GROUP BY 1
 """
+
+
+# Bloom-filter decontamination (q_dedup_decontaminate_bloom): mirrors
+# dedup.bloom_decontaminate_stats bit for bit — kh=3 positions per
+# shingle from disjoint 32-bit md5 slices mod m_bits, m_bits = next
+# power of two >= 16 * n_distinct_bench_shingles, 63-bit limbs (shift
+# by 63 is sign-bit overflow on both engines), bit_or-built filter,
+# exact semi-join computed alongside for the fp/fn witness columns.
+_BLOOM_POS = (
+    "CAST(concat('0x', substr(md5(shingle), {start}, 8)) AS BIGINT) % m_bits"
+)
+ORACLES["dedup_decontaminate_bloom"] = f"""
+WITH {_NORM_WORDS_CTE[1:]},
+{_WS_CTE[1:]},
+sh AS (
+  SELECT doc_id, {_shingles_expr(3)} AS shingles FROM wsed
+), bench_sh AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 7
+), mb AS (
+  SELECT CAST(CAST(1 AS BIGINT) << GREATEST(6, length(bin(16 * count(*) - 1))) AS BIGINT) AS m_bits
+  FROM bench_sh
+), bpos AS (
+  SELECT unnest(list_value(
+    {_BLOOM_POS.format(start=1)},
+    {_BLOOM_POS.format(start=9)},
+    {_BLOOM_POS.format(start=17)}
+  )) AS pos
+  FROM bench_sh CROSS JOIN mb
+), limbs AS (
+  SELECT pos // 63 AS wi,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS w
+  FROM bpos GROUP BY 1
+), train_sh AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 <> 7
+), probed AS (
+  SELECT doc_id,
+         {_BLOOM_POS.format(start=1)} AS p0,
+         {_BLOOM_POS.format(start=9)} AS p1,
+         {_BLOOM_POS.format(start=17)} AS p2
+  FROM train_sh CROSS JOIN mb
+), hits AS (
+  SELECT p.doc_id,
+         CASE WHEN (coalesce(w0.w, 0) & (CAST(1 AS BIGINT) << CAST(p.p0 % 63 AS INTEGER))) <> 0
+               AND (coalesce(w1.w, 0) & (CAST(1 AS BIGINT) << CAST(p.p1 % 63 AS INTEGER))) <> 0
+               AND (coalesce(w2.w, 0) & (CAST(1 AS BIGINT) << CAST(p.p2 % 63 AS INTEGER))) <> 0
+              THEN 1 ELSE 0 END AS h
+  FROM probed p
+  LEFT JOIN limbs w0 ON w0.wi = p.p0 // 63
+  LEFT JOIN limbs w1 ON w1.wi = p.p1 // 63
+  LEFT JOIN limbs w2 ON w2.wi = p.p2 // 63
+), per_doc_bloom AS (
+  SELECT doc_id, SUM(h) AS bloom_hits FROM hits GROUP BY doc_id
+), per_doc_exact AS (
+  SELECT t.doc_id, COUNT(*) AS exact_hits
+  FROM train_sh t JOIN bench_sh b ON t.shingle = b.shingle
+  GROUP BY t.doc_id
+), joined AS (
+  SELECT coalesce(pb.bloom_hits, 0) AS bloom_hits,
+         coalesce(pe.exact_hits, 0) AS exact_hits
+  FROM per_doc_bloom pb FULL OUTER JOIN per_doc_exact pe USING (doc_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probed_docs,
+       CAST(SUM(CASE WHEN bloom_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_bloom_flagged,
+       CAST(SUM(CASE WHEN exact_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_exact_flagged,
+       CAST(SUM(CASE WHEN bloom_hits > 0 AND exact_hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp_docs,
+       CAST(SUM(CASE WHEN exact_hits > 0 AND bloom_hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn_docs,
+       CAST(SUM(bloom_hits) AS BIGINT) AS bloom_shingle_hits,
+       CAST(SUM(exact_hits) AS BIGINT) AS exact_shingle_hits
+FROM joined
+"""

@@ -839,6 +839,22 @@ def main() -> int:
         },
     )
 
+    # bloom decontamination: the packed filter broadcasts (one-row cross
+    # join), the exact-witness semi-join broadcasts, and nothing plans a
+    # non-broadcast cartesian; no Python anywhere
+    bd = entry.q_dedup_decontaminate_bloom(spark, SF_DIR)
+    pbd = plan_of(bd)
+    check(
+        "bloom decontaminate (broadcast packed filter, narrow probe)",
+        pbd,
+        {
+            "packed filter broadcast": "BroadcastNestedLoopJoin" in pbd
+            or "BroadcastHashJoin" in pbd,
+            "no non-broadcast cartesian": "CartesianProduct" not in pbd,
+            "no Python in the hot path": "Python" not in pbd,
+        },
+    )
+
     # SQ8 quantized ANN: same geometry as brute force (queries broadcast,
     # corpus never shuffles) — the compressed scan must not introduce a
     # shuffle or a Python stage
