@@ -1998,8 +1998,15 @@ def q_dedup_semantic_sampled(spark, sf_dir):
     from extraction.cluster import semantic_near_pairs
 
     e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    n = e.count()
+    # fit_mod stays PINNED at 5 (that is the path this row exists to
+    # check; the oracle fixes it), but k scales with the corpus like
+    # every other semantic row — a fixed k makes the within-block pair
+    # stage quadratic in corpus growth (k=4 at the sf0.01 oracle point,
+    # k=40 at sf0.1; measured 8.5 s -> ~2 s at sf0.1)
+    k = max(4, (n + 124) // 125)
     return semantic_near_pairs(
-        e, "embedding", "vec_id", k=4, iters=2, threshold_num=2,
+        e, "embedding", "vec_id", k=k, iters=2, threshold_num=2,
         threshold_den=5, fit_mod=5,
     )
 
