@@ -400,6 +400,7 @@ def bloom_decontaminate_stats(
     k: int = 3,
     kh: int = 3,
     bits_per_item: int = 16,
+    witness: bool = True,
 ) -> DataFrame:
     """The production form decontaminate_hits' docstring promises: probe
     a BLOOM FILTER of benchmark shingles instead of the exact distinct
@@ -422,8 +423,17 @@ def bloom_decontaminate_stats(
     probe is narrow: shingle -> 3 slices -> 3 map lookups -> bit tests;
     corpus text never shuffles; only (doc_id, hits) rows reach the agg.
 
-    Returns ONE stats row that carries its own verification against the
-    exact semi-join (computed alongside, at test scale):
+    With ``witness=True`` (the oracle/test form) the exact semi-join is
+    computed ALONGSIDE from the SAME materialized shingle table — the
+    corpus text is tokenized exactly once and localCheckpointed (the
+    _lsh_banded signature-table discipline), so the witness costs one
+    extra pass over the cached exploded shingles, never a second text
+    pass. Production (``witness=False``) skips the exact join entirely
+    — that is the whole point of the bloom — and returns per-doc
+    (doc_id, bloom_hits) flags instead of the stats row.
+
+    Returns (witness=True) ONE stats row that carries its own
+    verification against the exact semi-join:
       n_probed_docs (train docs with >= 1 shingle), docs_bloom_flagged, docs_exact_flagged,
       fp_docs (bloom-only — the measured false-positive cost),
       fn_docs (exact-only — MUST be 0: a bloom filter has no false
@@ -431,10 +441,15 @@ def bloom_decontaminate_stats(
       value-hash gate pins it),
       bloom_shingle_hits, exact_shingle_hits.
     """
+    # materialized: consumed up to three times (count, filter build,
+    # exact witness join) — without the checkpoint each consumer re-runs
+    # the bench text pass (the _lsh_banded discipline; eager so the
+    # count below rides the same materialization)
     bsh = (
         bench.select(word_shingles(F.col(text_col), k).alias("shingles"))
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = bsh.count()
     m_bits = 1 << max(6, (bits_per_item * max(n, 1) - 1).bit_length())
@@ -473,6 +488,11 @@ def bloom_decontaminate_stats(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     ).select("doc_id", F.explode("shingles").alias("shingle"))
+    if witness:
+        # both the bloom probe and the exact witness consume the
+        # exploded corpus shingles: materialize ONCE so the corpus text
+        # is tokenized once, not twice (the r2 tiered-funnel lesson)
+        tsh = tsh.localCheckpoint(eager=False)
     pr = tsh.crossJoin(F.broadcast(packed))
     for j, p in enumerate(positions(F.col("shingle"))):
         pr = pr.withColumn(f"p{j}", p)
@@ -489,8 +509,14 @@ def bloom_decontaminate_stats(
         .groupBy("doc_id")
         .agg(F.sum("h").alias("bloom_hits"))
     )
-    per_doc_exact = decontaminate_hits(train, bench, text_col, id_col, k=k).select(
-        "doc_id", F.col("n_hits").alias("exact_hits")
+    if not witness:
+        return per_doc_bloom
+    # exact witness from the SAME cached shingle tables (not a fresh
+    # decontaminate_hits call, which would re-tokenize both sides)
+    per_doc_exact = (
+        tsh.join(F.broadcast(bsh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("exact_hits"))
     )
     both = per_doc_bloom.join(per_doc_exact, "doc_id", "full_outer")
     return both.agg(
