@@ -412,7 +412,7 @@ def bloom_decontaminate_stats(
     registers.
 
     Fully deterministic and oracle-mirrorable: kh=3 bit positions per
-    shingle come from disjoint 32-bit md5 slices mod m_bits; m_bits is
+    shingle come from disjoint 40-bit md5 slices mod m_bits; m_bits is
     the next power of two >= bits_per_item * n_distinct_shingles
     (derived from one driver-side count, like the k-means fit_mod — so
     the FP rate stays ~0.5% at every sf instead of saturating as the
@@ -455,10 +455,14 @@ def bloom_decontaminate_stats(
     m_bits = 1 << max(6, (bits_per_item * max(n, 1) - 1).bit_length())
 
     def positions(scol):
-        # kh disjoint 32-bit md5 slices mod m_bits — cheap, portable,
-        # independent enough for a bloom (md5 bits are uniform)
+        # kh disjoint 40-bit md5 slices mod m_bits — cheap, portable,
+        # independent enough for a bloom (md5 bits are uniform). 40 bits
+        # address filters to 2^40 bits (128 GiB) — past any practical
+        # broadcast (a few GB, ~2^35 bits), so the slice width is never
+        # the binding constraint; beyond broadcast size the filter
+        # partitions and this op no longer applies as-is
         return [
-            F.conv(F.substring(F.md5(scol), 1 + 8 * j, 8), 16, 10).cast("long")
+            F.conv(F.substring(F.md5(scol), 1 + 10 * j, 10), 16, 10).cast("long")
             % F.lit(m_bits)
             for j in range(kh)
         ]

@@ -1821,6 +1821,13 @@ ORACLES["dedup_semantic_probe2"] = _semantic_dedup_probe2_oracle()
 # iterations on vec_id % 5 = 0 (100 of 500 points), full-corpus
 # assignment and exact pairing — the operating shape the entry queries
 # use at any sf where n // 500 > 1
+#
+# VALIDITY NOTE (applies to all dedup_semantic* / emb_kmeans oracles):
+# the oracles pin k=4 and their own fit_mod, which equals the entry
+# queries' n-derived values ONLY at the sf0.01 driver point (n=500 ->
+# k=max(4, ceil(500/125))=4). compare_oracle against any other sf dir
+# reports a spurious mismatch for this family — same caveat CLAUDE.md
+# records for fit_mod.
 ORACLES["dedup_semantic_sampled"] = _semantic_dedup_oracle(fit_mod=5)
 
 # per-source boilerplate k-gram screen (dedup.boilerplate_ngram_stats):
@@ -2203,12 +2210,12 @@ FROM z GROUP BY 1
 
 # Bloom-filter decontamination (q_dedup_decontaminate_bloom): mirrors
 # dedup.bloom_decontaminate_stats bit for bit — kh=3 positions per
-# shingle from disjoint 32-bit md5 slices mod m_bits, m_bits = next
+# shingle from disjoint 40-bit md5 slices mod m_bits, m_bits = next
 # power of two >= 16 * n_distinct_bench_shingles, 63-bit limbs (shift
 # by 63 is sign-bit overflow on both engines), bit_or-built filter,
 # exact semi-join computed alongside for the fp/fn witness columns.
 _BLOOM_POS = (
-    "CAST(concat('0x', substr(md5(shingle), {start}, 8)) AS BIGINT) % m_bits"
+    "CAST(concat('0x', substr(md5(shingle), {start}, 10)) AS BIGINT) % m_bits"
 )
 ORACLES["dedup_decontaminate_bloom"] = f"""
 WITH {_NORM_WORDS_CTE[1:]},
@@ -2218,13 +2225,13 @@ sh AS (
 ), bench_sh AS (
   SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 7
 ), mb AS (
-  SELECT CAST(CAST(1 AS BIGINT) << GREATEST(6, length(bin(16 * count(*) - 1))) AS BIGINT) AS m_bits
+  SELECT CAST(CAST(1 AS BIGINT) << GREATEST(6, length(bin(16 * GREATEST(count(*), 1) - 1))) AS BIGINT) AS m_bits
   FROM bench_sh
 ), bpos AS (
   SELECT unnest(list_value(
     {_BLOOM_POS.format(start=1)},
-    {_BLOOM_POS.format(start=9)},
-    {_BLOOM_POS.format(start=17)}
+    {_BLOOM_POS.format(start=11)},
+    {_BLOOM_POS.format(start=21)}
   )) AS pos
   FROM bench_sh CROSS JOIN mb
 ), limbs AS (
@@ -2236,8 +2243,8 @@ sh AS (
 ), probed AS (
   SELECT doc_id,
          {_BLOOM_POS.format(start=1)} AS p0,
-         {_BLOOM_POS.format(start=9)} AS p1,
-         {_BLOOM_POS.format(start=17)} AS p2
+         {_BLOOM_POS.format(start=11)} AS p1,
+         {_BLOOM_POS.format(start=21)} AS p2
   FROM train_sh CROSS JOIN mb
 ), hits AS (
   SELECT p.doc_id,

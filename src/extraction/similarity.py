@@ -54,6 +54,24 @@ def sign_lsh_bucket(vec: Column, planes: int = 4, dims: int = 64) -> Column:
     return bucket
 
 
+
+def _topk_tail(scored, order_col: str, k: int):
+    """Shared ranked-top-k tail of every ANN variant: per-query window
+    (score DESC, neighbor_id ASC — the single tie rule all variants and
+    all SQL oracles share), rank filter, canonical projection. One
+    definition so the tie-break/self-exclusion contract cannot drift
+    between variants."""
+    w = Window.partitionBy("qid").orderBy(F.desc(order_col), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -71,16 +89,7 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
         "qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_tail(scored, "cos_sim", k)
 
 
 def ivf_topk(
@@ -178,16 +187,7 @@ def ivf_topk(
     scored = c.join(
         F.broadcast(q), (F.col("ql") == F.col("cl")) & (F.col("qid") != F.col("nid"))
     ).select("qid", "nid", cosine_sim_safe(F.col("qv"), F.col("cv")).alias("cos_sim"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_tail(scored, "cos_sim", k)
 
 
 def ivf_join_topk(
@@ -285,16 +285,7 @@ def ivf_join_topk(
     scored = c.join(
         F.broadcast(q), (F.col("ql") == F.col("cl")) & (F.col("qid") != F.col("nid"))
     ).select("qid", "nid", cosine_sim_safe(F.col("qv"), F.col("cv")).alias("cos_sim"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_tail(scored, "cos_sim", k)
 
 
 def multiprobe_topk(
@@ -344,16 +335,7 @@ def multiprobe_topk(
     scored = c.join(
         F.broadcast(qp), (F.col("probe") == F.col("cb")) & (F.col("qid") != F.col("nid"))
     ).select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_tail(scored, "cos_sim", k)
 
 
 def bucketed_topk(
@@ -379,16 +361,7 @@ def bucketed_topk(
     scored = c.join(
         F.broadcast(q), (F.col("qb") == F.col("cb")) & (F.col("qid") != F.col("nid"))
     ).select("qid", "nid", cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_tail(scored, "cos_sim", k)
 
 
 def sq8_codes(vec: Column, shift: int = 7) -> Column:
@@ -467,13 +440,4 @@ def sq8_topk(
     scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
         "qid", "nid", sq8_dot(F.col("qc"), F.col("cc")).alias("dot")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_tail(scored, "dot", k)

@@ -421,7 +421,8 @@ def hll_register(col: Column, m: int = 64) -> tuple[Column, Column]:
     - bucket = h mod m (low bits pick the register, m a power of two)
     - rho = position of the lowest set bit of w = h div m, counted from
       1; the "geometric observable" whose per-bucket MAX estimates
-      log2(n/m). w == 0 (prob 2^-54) pins to the max 55.
+      log2(n/m). w == 0 pins to the max position + 1 = (60 - shift) + 1
+      (55 at the default m=64 — the value the SQL oracle mirrors).
 
     Everything is integer: the lowest-set-bit position is derived as
     bit_count(lowest_set_bit - 1) + 1 (bit_count of 2^p - 1 is p) —
@@ -444,7 +445,10 @@ def hll_register(col: Column, m: int = 64) -> tuple[Column, Column]:
     # bitwise minus on columns, so use (w - (w & (w-1))) — strips all
     # but the lowest set bit with +,-,& only (portable to ANSI SQL)
     low = w - w.bitwiseAND(w - F.lit(1))
-    rho = F.when(w == 0, F.lit(55).cast("long")).otherwise(
+    # w has 60 - shift bits; the all-zero suffix pins one past the
+    # largest genuine rho (a constant 55 would collide at m < 64)
+    max_rho = (60 - shift) + 1
+    rho = F.when(w == 0, F.lit(max_rho).cast("long")).otherwise(
         (F.bit_count(low - F.lit(1)) + F.lit(1)).cast("long")
     )
     return bucket, rho

@@ -882,8 +882,7 @@ def main() -> int:
             # _par's RoundRobin fan-out is test-only (no-op at scale);
             # the AGG itself must cost exactly one hash exchange
             "exactly one hash exchange": phr.count("hashpartitioning") == 1,
-            "partial agg before the shuffle": "partial_" in phr.lower()
-            or "HashAggregate" in phr,
+            "map-side partial max before the shuffle": "partial_max" in phr,
             "no join": "Join" not in phr,
             "no Python in the hot path": "Python" not in phr,
         },
