@@ -1344,6 +1344,42 @@ def q_ann_ivf_join_top1(spark, sf_dir):
     )
 
 
+def q_ann_ivf_sq8_top1(spark, sf_dir):
+    """The composed production ANN stack: IVF blocking (broadcast
+    centroid DATA, plan O(1) in list count) with an SQ8-COMPRESSED
+    in-list scan — coarse quantizer in float, fine scan over int8 codes
+    (4x fewer scanned bytes; associative integer-dot ranking). The
+    assignment is float cosine in BOTH this and ann_ivf_join_top1, so
+    the two variants block identically and the ivf_hit witness isolates
+    pure in-list quantization error (composability demonstrated and
+    measured, not claimed — the sq8_topk / ivf_join_topk docstrings
+    promise exactly this composition)."""
+    from extraction.similarity import ivf_join_topk
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = e.filter(F.col("vec_id") < 30)
+    sq = ivf_join_topk(
+        e, q, "embedding", "vec_id", centroids=cents, k=1, sq8_shift=7
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+    fl = ivf_join_topk(e, q, "embedding", "vec_id", centroids=cents, k=1).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("ivf_nid"),
+    )
+    return sq.join(fl, "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce(
+            (F.col("neighbor_id") == F.col("ivf_nid")).cast("long"), F.lit(0)
+        ).alias("ivf_hit"),
+    )
+
+
 def q_ann_recall_at_1(spark, sf_dir):
     """Measured accuracy trade of the ANN scale path: recall@1 of
     single-probe and multi-probe bucketed search vs exact brute force,
@@ -2630,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "t10_curriculum_shards": q_t10_curriculum_shards,
         "ann_sq8_top1": q_ann_sq8_top1,
+        "ann_ivf_sq8_top1": q_ann_ivf_sq8_top1,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "corpus_hll_registers": q_corpus_hll_registers,
         "t11_zorder_layout": q_t11_zorder_layout,

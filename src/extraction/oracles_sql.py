@@ -2276,3 +2276,54 @@ SELECT CAST(count(*) AS BIGINT) AS n_probed_docs,
        CAST(SUM(exact_hits) AS BIGINT) AS exact_shingle_hits
 FROM joined
 """
+
+
+# composed IVF + SQ8 (q_ann_ivf_sq8_top1): same float-cosine assignment
+# CTEs as ann_ivf_join_top1 (both variants block identically), in-list
+# ranking by the integer dot of SQ8 codes, left-joined against the
+# float-scan IVF top-1 for the ivf_hit quantization witness.
+ORACLES["ann_ivf_sq8_top1"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 64
+), cross_sc AS (
+  SELECT e.vec_id, c.cid, {_safe_cos("e.embedding", "c.cv")} AS sc
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, lst FROM (
+    SELECT vec_id, cid AS lst,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+    FROM cross_sc
+  ) WHERE rn = 1
+), listed AS (
+  SELECT e.vec_id, e.embedding, {_SQ8_CODES.format(v="e.embedding")} AS code, a.lst
+  FROM embeddings e JOIN assigned a USING (vec_id)
+), sq_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.code AS qc, c.code AS cc
+  FROM listed q JOIN listed c ON q.lst = c.lst AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 30
+), sq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ({_SQ8_DOT}) DESC, neighbor_id ASC) AS rn
+    FROM sq_scored
+  ) WHERE rn = 1
+), fl_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_safe_cos("q.embedding", "c.embedding")} AS cos_sim
+  FROM listed q JOIN listed c ON q.lst = c.lst AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 30
+), fl AS (
+  SELECT query_id, neighbor_id AS ivf_nid FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM fl_scored
+  ) WHERE rn = 1
+)
+SELECT CAST(sq.query_id AS BIGINT) AS query_id,
+       CAST(sq.neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(coalesce(CASE WHEN sq.neighbor_id = fl.ivf_nid THEN 1 ELSE 0 END, 0) AS BIGINT) AS ivf_hit
+FROM sq LEFT JOIN fl USING (query_id)
+"""

@@ -198,6 +198,7 @@ def ivf_join_topk(
     centroids: DataFrame,
     k: int = 1,
     nprobe: int = 1,
+    sq8_shift: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN, production centroid form: the centroid table is a
     DataFrame, not plan literals — the broadcast-join argmax
@@ -270,22 +271,38 @@ def ivf_join_topk(
         )
         return F.transform(F.slice(F.array_sort(neg), 1, nprobe), lambda t: t["cid"])
 
+    # with sq8_shift set, the in-list scan runs over int8 CODES instead
+    # of floats — the full production stack (IVF coarse quantizer in
+    # float, compressed fine scan): the corpus-side payload shrinks 4x
+    # and ranking is the associative integer dot (sq8_topk's contract).
+    # Assignment stays float cosine either way, so both variants block
+    # identically and a hit diff isolates pure in-list quantization
+    # error (q_ann_ivf_sq8_top1's witness).
+    quant = sq8_shift is not None
+    payload = (
+        sq8_codes(F.col(vec_col), sq8_shift) if quant else F.col(vec_col)
+    )
     c = corpus.crossJoin(packed).select(
         F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("cv"),
+        payload.alias("cv"),
         best_cid(F.col(vec_col)).alias("cl"),
     )
     q = queries.crossJoin(packed).select(
         F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
+        payload.alias("qv"),
         F.explode(probe_cids(F.col(vec_col))).alias("ql")
         if nprobe > 1
         else best_cid(F.col(vec_col)).alias("ql"),
     )
+    score = (
+        sq8_dot(F.col("qv"), F.col("cv")).alias("dot")
+        if quant
+        else cosine_sim_safe(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
     scored = c.join(
         F.broadcast(q), (F.col("ql") == F.col("cl")) & (F.col("qid") != F.col("nid"))
-    ).select("qid", "nid", cosine_sim_safe(F.col("qv"), F.col("cv")).alias("cos_sim"))
-    return _topk_tail(scored, "cos_sim", k)
+    ).select("qid", "nid", score)
+    return _topk_tail(scored, "dot" if quant else "cos_sim", k)
 
 
 def multiprobe_topk(
