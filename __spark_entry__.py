@@ -1380,6 +1380,60 @@ def q_ann_ivf_sq8_top1(spark, sf_dir):
     )
 
 
+def q_ann_sq8_rerank_top1(spark, sf_dir):
+    """SQ8 shortlist -> FLOAT re-rank: the standard recovery for the
+    compressed scan's quantization misses (BENCH/ANN.md). The corpus
+    scan stays int8 (4x fewer bytes) and returns a top-r=8 shortlist
+    per query; only those r rows join back to the float table (a
+    broadcast of |q|*r ids — model-sized) for exact cosine re-ranking.
+    The bf_hit witness vs float brute force shows the misses recovered
+    (28/30 -> 30/30 at sf0.1). Scale shape: the expensive pass reads
+    codes only; the float table is touched for |q|*r rows total."""
+    from extraction.dedup import cosine_sim
+    from extraction.similarity import brute_force_topk, sq8_topk
+
+    e = _par(spark, _t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 30)
+    short = sq8_topk(e, q, "embedding", "vec_id", k=8, shift=7).select(
+        "query_id", "neighbor_id"
+    )
+    # float re-rank of the shortlist: broadcast the tiny (qid, nid)
+    # list; the corpus-side join touches only the r rows per query
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    rer = (
+        cv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    top = (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        )
+    )
+    bf = brute_force_topk(e, q, "embedding", "vec_id", k=1).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("bf_nid"),
+    )
+    return top.join(bf, "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce(
+            (F.col("neighbor_id") == F.col("bf_nid")).cast("long"), F.lit(0)
+        ).alias("bf_hit"),
+    )
+
+
 def q_ann_recall_at_1(spark, sf_dir):
     """Measured accuracy trade of the ANN scale path: recall@1 of
     single-probe and multi-probe bucketed search vs exact brute force,
@@ -2667,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_curriculum_shards": q_t10_curriculum_shards,
         "ann_sq8_top1": q_ann_sq8_top1,
         "ann_ivf_sq8_top1": q_ann_ivf_sq8_top1,
+        "ann_sq8_rerank_top1": q_ann_sq8_rerank_top1,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "corpus_hll_registers": q_corpus_hll_registers,
         "t11_zorder_layout": q_t11_zorder_layout,

@@ -2327,3 +2327,50 @@ SELECT CAST(sq.query_id AS BIGINT) AS query_id,
        CAST(coalesce(CASE WHEN sq.neighbor_id = fl.ivf_nid THEN 1 ELSE 0 END, 0) AS BIGINT) AS ivf_hit
 FROM sq LEFT JOIN fl USING (query_id)
 """
+
+
+# SQ8 shortlist -> float re-rank (q_ann_sq8_rerank_top1): int8-dot
+# top-8 shortlist per query (same codes/dot as ann_sq8_top1), exact
+# float cosine re-rank of the shortlist, bf_hit witness vs brute force.
+ORACLES["ann_sq8_rerank_top1"] = f"""
+WITH codes AS (
+  SELECT vec_id, {_SQ8_CODES.format(v="embedding")} AS code FROM embeddings
+), sq_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.code AS qc, c.code AS cc
+  FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 30
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ({_SQ8_DOT}) DESC, neighbor_id ASC) AS rn
+    FROM sq_scored
+  ) WHERE rn <= 8
+), rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_cosine_expr("q.embedding", "c.embedding")} AS cos_sim
+  FROM short s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+), top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM rer
+  ) WHERE rn = 1
+), bf AS (
+  SELECT query_id, neighbor_id AS bf_nid FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cosine_expr("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 30
+  ) WHERE rn = 1
+)
+SELECT CAST(t.query_id AS BIGINT) AS query_id,
+       CAST(t.neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(coalesce(CASE WHEN t.neighbor_id = bf.bf_nid THEN 1 ELSE 0 END, 0) AS BIGINT) AS bf_hit
+FROM top t LEFT JOIN bf USING (query_id)
+"""
