@@ -2445,6 +2445,41 @@ def q_dedup_semantic_arrow(spark, sf_dir):
     )
 
 
+def q_s10_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round-trip — the second columnar format Spark
+    ships natively (a lakehouse migration seam: Hive-era corpora are
+    ORC; reading them does not need a converter pass). Same contract
+    design as s7_jsonl_roundtrip: write with the built-in ORC sink,
+    read back with a DECLARED schema, aggregate with a fingerprint
+    checksum so the oracle comparison proves byte-exact text survival
+    through the format's own string encoding (dictionary + RLE), not
+    just row counts. The oracle computes the same aggregate straight
+    from the documents table — equality IS the round-trip identity
+    proof (DuckDB never reads ORC; it doesn't need to)."""
+    from extraction.textops import fingerprint64, token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp", f"extraction_orc_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    d.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
+        4
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).orc(path)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.sum(fingerprint64(F.col("text")) % F.lit(2147483647))
+        .cast("long")
+        .alias("text_checksum"),
+    )
+
+
 def q_s7_jsonl_roundtrip(spark, sf_dir):
     """JSONL sink + source round-trip — the training-data interchange
     format (every public corpus ships as JSONL). The corpus is written
@@ -2726,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hll_registers": q_corpus_hll_registers,
         "t11_zorder_layout": q_t11_zorder_layout,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
+        "s10_orc_roundtrip": q_s10_orc_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at

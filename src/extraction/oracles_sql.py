@@ -2037,6 +2037,22 @@ FROM documents
 GROUP BY lang, source
 """
 
+# ORC round-trip (q_s10_orc_roundtrip): identical contract to the
+# JSONL round-trip — the oracle aggregates the ORIGINAL table, so
+# equality proves the ORC write/read preserved every byte.
+ORACLES["s10_orc_roundtrip"] = f"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM({_WS_COUNT}) AS BIGINT) AS ws_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id,
+       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 2147483647)
+            AS BIGINT) AS text_checksum
+FROM documents
+GROUP BY lang, source
+"""
+
 # s8 corrupt-tolerant JSONL ingest: the Spark query corrupts every
 # doc_id % 37 == 0 line before writing and reads back in PERMISSIVE
 # mode with a _corrupt_record quarantine column; the oracle
