@@ -2480,6 +2480,49 @@ def q_s10_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_s11_csv_roundtrip(spark, sf_dir):
+    """CSV sink + source round-trip under ADVERSARIAL content — every
+    row's text is decorated with the three things that break naive CSV
+    (a comma, a double-quote, an embedded newline) before writing, so
+    the checksum identity proves Spark's quoting/escaping survives all
+    three, not just friendly strings. Read back with multiLine=true —
+    and that is the deliberately-documented scale lesson: multiLine CSV
+    is NOT SPLITTABLE (a quoted newline is indistinguishable from a
+    record boundary mid-file), so one 100 GB CSV file is one task. At
+    corpus scale this seat exists for INGESTING legacy CSV (many small
+    files → fine parallelism); the engine's own interchange formats
+    stay JSONL/parquet/ORC, which split. The oracle applies the same
+    decoration to the original table and never reads the CSV — equality
+    IS the round-trip identity proof (the s7/s10 contract)."""
+    from extraction.textops import fingerprint64, token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    deco = F.concat(
+        F.col("text"), F.lit(', "q"\nx')
+    )
+    path = os.path.join(
+        "/tmp", f"extraction_csv_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    d.select(
+        F.col("doc_id"), deco.alias("text"), F.col("lang"), F.col("source")
+    ).coalesce(4).write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema("doc_id long, text string, lang string, source string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.sum(fingerprint64(F.col("text")) % F.lit(2147483647))
+        .cast("long")
+        .alias("text_checksum"),
+    )
+
+
 def q_s7_jsonl_roundtrip(spark, sf_dir):
     """JSONL sink + source round-trip — the training-data interchange
     format (every public corpus ships as JSONL). The corpus is written
@@ -2762,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_zorder_layout": q_t11_zorder_layout,
         "s7_jsonl_roundtrip": q_s7_jsonl_roundtrip,
         "s10_orc_roundtrip": q_s10_orc_roundtrip,
+        "s11_csv_roundtrip": q_s11_csv_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at

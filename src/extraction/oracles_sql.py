@@ -2390,3 +2390,24 @@ SELECT CAST(t.query_id AS BIGINT) AS query_id,
        CAST(coalesce(CASE WHEN t.neighbor_id = bf.bf_nid THEN 1 ELSE 0 END, 0) AS BIGINT) AS bf_hit
 FROM top t LEFT JOIN bf USING (query_id)
 """
+
+
+# CSV round-trip under adversarial content (q_s11_csv_roundtrip): the
+# oracle applies the SAME decoration (comma + quote + embedded newline)
+# to the original table and never reads the CSV — equality proves
+# Spark's CSV quoting/escaping survived all three. chr(10) = \n so the
+# SQL literal matches the Spark F.lit string byte for byte.
+ORACLES["s11_csv_roundtrip"] = """
+WITH deco AS (
+  SELECT doc_id, text || ', "q"' || chr(10) || 'x' AS text, lang, source
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id,
+       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 2147483647) AS BIGINT) AS text_checksum
+FROM deco
+GROUP BY lang, source
+"""
