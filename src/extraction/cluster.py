@@ -530,28 +530,35 @@ def _pair_within_blocks(
     ``feat`` must carry (id, qv, c1, c2, n2) and already be
     materialization-safe to consume twice (localCheckpoint-ed)."""
     threshold_num, threshold_den = int(threshold_num), int(threshold_den)
-    mem = feat.select(
-        "id", "qv", "n2", F.explode(F.array("c1", "c2")).alias("cl")
+    # candidates first, vectors later: the block self-join runs on the
+    # SKINNY (cl, id) membership table (16 bytes/row instead of a
+    # 64-long vector per row), and the per-pair dedupe happens BEFORE
+    # scoring — a pair sharing both blocks is scored once, not twice.
+    # The threshold test is a pure function of the pair, so filtering
+    # after the count is identical to the old filter-then-count form
+    # (n_shared_blocks counted every co-membership either way).
+    mem = feat.select("id", F.explode(F.array("c1", "c2")).alias("cl"))
+    cand = (
+        mem.select("cl", F.col("id").alias("id_a"))
+        .join(mem.select("cl", F.col("id").alias("id_b")), on="cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared_blocks"))
     )
-    a = mem.select(
-        "cl",
-        F.col("id").alias("id_a"),
-        F.col("qv").alias("qv_a"),
-        F.col("n2").alias("n2_a"),
+    va = feat.select(
+        F.col("id").alias("id_a"), F.col("qv").alias("qv_a"), F.col("n2").alias("n2_a")
     )
-    b = mem.select(
-        "cl",
-        F.col("id").alias("id_b"),
-        F.col("qv").alias("qv_b"),
-        F.col("n2").alias("n2_b"),
+    vb = feat.select(
+        F.col("id").alias("id_b"), F.col("qv").alias("qv_b"), F.col("n2").alias("n2_b")
     )
     dec = "decimal(38,0)"
     pairs = (
-        a.join(b, on="cl")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
+            "n_shared_blocks",
             "n2_a",
             "n2_b",
             F.aggregate(
@@ -568,13 +575,8 @@ def _pair_within_blocks(
         * F.col("n2_a").cast(dec)
         * F.col("n2_b").cast(dec)
     )
-    return (
-        pairs.filter((F.col("dot") > 0) & (lhs >= rhs))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("n_shared_blocks"))
-        .select(
-            F.col("id_a").cast("long"),
-            F.col("id_b").cast("long"),
-            "n_shared_blocks",
-        )
+    return pairs.filter((F.col("dot") > 0) & (lhs >= rhs)).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "n_shared_blocks",
     )
