@@ -2694,6 +2694,43 @@ def q_text_length_quantiles(spark, sf_dir):
     )
 
 
+def q_text_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring (Wenzek et al. 2020): a
+    stupid-backoff bigram model is trained distributively on the
+    corpus's high-quality slice (quality_score >= 50 — the clean-
+    reference stand-in for CCNet's Wikipedia KenLM), then EVERY doc is
+    scored by its mean scaled bigram probability. Integer-exact
+    throughout (scaled integer probabilities, integer division) so the
+    DuckDB mirror is value-hash identical — no float summation-order
+    hazard. Scale shape: model = two map-side-combined count shuffles
+    (|vocab| and |observed bigrams| rows); scoring pre-aggregates per
+    (doc, ngram) so the model join carries distinct-bigrams-per-doc,
+    and the hot-bigram join skew is AQE-split (broadcast at this
+    scale). See scoring.lm_score_table."""
+    from extraction.scoring import lm_score_table
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    return lm_score_table(d, "text", "doc_id", "lang")
+
+
+def q_text_classifier_score(spark, sf_dir):
+    """fastText-style hashed linear classifier inference (Joulin et
+    al. 2016): token -> portable md5-prefix bucket (mod 256) ->
+    broadcast join to a (bucket, weight) model table -> per-doc
+    weight sum, label = sign. The weight table is a deterministic
+    LCG-of-bucket synthetic model (the model-artifact seat — a trained
+    quality classifier loads into exactly this shape; reference
+    analog: the model restore seat,
+    /root/reference/src/DocumentAnalyzer.py:45-46). Per-(doc, bucket)
+    counts are pre-aggregated so the broadcast join touches <= 256
+    rows per doc; the corpus never shuffles. See
+    scoring.hashed_linear_scores."""
+    from extraction.scoring import hashed_linear_scores
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    return hashed_linear_scores(d, "text", "doc_id", "lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full extraction pipeline."""
     return q_extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -2807,6 +2844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_orc_roundtrip": q_s10_orc_roundtrip,
         "s11_csv_roundtrip": q_s11_csv_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
+        "text_lm_score": q_text_lm_score,
+        "text_classifier_score": q_text_classifier_score,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

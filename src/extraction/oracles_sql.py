@@ -2411,3 +2411,84 @@ SELECT lang, source,
 FROM deco
 GROUP BY lang, source
 """
+
+
+# CCNet-style bigram-LM quality score (mirror of q_text_lm_score /
+# scoring.lm_score_table): stupid-backoff bigram model trained on the
+# quality_score >= 50 slice, every doc scored by mean scaled bigram
+# probability. All-integer arithmetic (// is BIGINT floor division on
+# positive operands, matching Spark's `div`), so no float summation-
+# order divergence is possible. range(1, len(ws)) is 1-based and
+# end-exclusive -> pairs (1,2)..(n-1,n), empty for docs under 2 words
+# (both engines drop those docs identically).
+ORACLES["text_lm_score"] = f"""
+WITH ws AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+         {_QUALITY_EXPR} AS q
+  FROM documents
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ws) AS w FROM ws WHERE q >= 50) GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS t_tokens FROM uni
+), bi AS (
+  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+    FROM ws WHERE q >= 50
+  ) GROUP BY ngram
+), bi_p AS (
+  SELECT bi.ngram, (1000000 * bi.c2) // uni.c1 AS p2
+  FROM bi JOIN uni ON string_split(bi.ngram, ' ')[1] = uni.w
+), backoff AS (
+  SELECT w AS w2, (2 * 1000000 * c1) // (5 * (SELECT t_tokens FROM tot)) AS b1
+  FROM uni
+), doc_bg AS (
+  SELECT doc_id, lang, ngram, CAST(COUNT(*) AS BIGINT) AS m,
+         string_split(ngram, ' ')[2] AS w2
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+    FROM ws
+  ) GROUP BY 1, 2, 3
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN bi_p.p2 IS NULL THEN m ELSE 0 END) AS BIGINT) AS oov_bigrams,
+       CAST(SUM(m * COALESCE(bi_p.p2, backoff.b1, 0)) AS BIGINT) AS sum_p,
+       CAST(SUM(m * COALESCE(bi_p.p2, backoff.b1, 0)) // SUM(m) AS BIGINT) AS lm_score
+FROM doc_bg
+LEFT JOIN bi_p USING (ngram)
+LEFT JOIN backoff USING (w2)
+GROUP BY 1, 2
+"""
+
+# fastText-style hashed linear classifier (mirror of
+# q_text_classifier_score / scoring.hashed_linear_scores): token ->
+# md5-prefix bucket mod 256 (the fingerprint64 portability convention),
+# weight = LCG(bucket) in [-1000, 1000], doc score = sum of weights
+# with multiplicity, label = sign.
+ORACLES["text_classifier_score"] = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY 1, 2, 3
+), model AS (
+  SELECT b AS bucket, (b * 1103515245 + 12345) % 2001 - 1000 AS weight
+  FROM (SELECT unnest(range(0, 256)) AS b)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(SUM(m) AS BIGINT) AS n_tokens,
+       CAST(SUM(m * weight) AS BIGINT) AS score,
+       CAST(CASE WHEN SUM(m * weight) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+FROM tok JOIN model USING (bucket)
+GROUP BY 1, 2
+"""
