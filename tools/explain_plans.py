@@ -909,6 +909,38 @@ def main() -> int:
         },
     )
 
+    # bigram-LM scoring: model build and scoring are hash-agg shuffles
+    # with map-side partial counts; no cartesian, no Python, and the
+    # per-(doc, ngram) pre-aggregation shows up as a partial_count
+    # BEFORE the model joins
+    lm = entry.q_text_lm_score(spark, SF_DIR)
+    plm = plan_of(lm)
+    check(
+        "lm score (map-side-combined model counts, no cartesian)",
+        plm,
+        {
+            "map-side partial counts": "partial_count" in plm,
+            "no cartesian": "CartesianProduct" not in plm,
+            "no Python in the hot path": "Python" not in plm,
+        },
+    )
+
+    # hashed linear classifier: the dims-row model table joins
+    # BROADCAST (the corpus never shuffles to meet the model) and the
+    # per-doc score agg partial-combines map-side
+    cs = entry.q_text_classifier_score(spark, SF_DIR)
+    pcs = plan_of(cs)
+    check(
+        "classifier score (broadcast model join, map-side agg)",
+        pcs,
+        {
+            "model join broadcast": "BroadcastHashJoin" in pcs,
+            "map-side partial agg": "partial_count" in pcs or "partial_sum" in pcs,
+            "no cartesian": "CartesianProduct" not in pcs,
+            "no Python in the hot path": "Python" not in pcs,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
