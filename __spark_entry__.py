@@ -2731,6 +2731,25 @@ def q_text_classifier_score(spark, sf_dir):
     return hashed_linear_scores(d, "text", "doc_id", "lang")
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Crawl-graph domain authority: integer-exact PageRank (damping
+    85/100, 3 iterations, scaled by 10^6) over a domain link graph
+    derived deterministically from the corpus (each doc emits two
+    outlinks whose target doc id is doc_id arithmetic — the synth-input
+    idiom of canonical_url; a real pipeline lands here from an
+    href-extraction pass). The crawl-prioritization seat: which domains
+    to fetch next and how to weight sources. Scale shape: the only
+    corpus-sized work is the outlink derivation + one skew-free
+    equi-join (target id -> its domain); edges/ranks are
+    domain-cardinality, so each iteration is a broadcast-joinable agg
+    and the fixed 3-iteration loop is ONE logical plan — no driver-side
+    data movement. See graph.pagerank."""
+    from extraction.graph import pagerank
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    return pagerank(d, "doc_id", "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full extraction pipeline."""
     return q_extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -2846,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles": q_text_length_quantiles,
         "text_lm_score": q_text_lm_score,
         "text_classifier_score": q_text_classifier_score,
+        "graph_pagerank": q_graph_pagerank,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

@@ -1,0 +1,124 @@
+"""Crawl-graph authority scoring (PageRank) for crawl prioritization.
+
+A web-scale crawl pipeline ranks domains by link authority to decide
+what to fetch next and how to weight sources (the seat OpenWebText's
+karma threshold and Common Crawl's harmonic-centrality ranking fill).
+This module runs PageRank over a domain-level link graph with every
+number an exact scaled integer, so an independent ANSI-SQL engine
+reproduces identical ranks — no float fixpoint drift between engines.
+
+Graph derivation (synth-input idiom, like canonical_url's raw-URL
+variants): each document emits two outlinks whose TARGET DOCUMENT is a
+deterministic function of its doc_id — t1 = (id·31+7) mod n, t2 =
+(id·17+3) mod n — and the edge is (source of doc) → (source of target
+doc), self-loops dropped, parallel edges aggregated to a weight. A real
+pipeline lands here from an href-extraction pass; the derivation is the
+deterministic stand-in with the same shape: a corpus-sized equi-join
+(target doc id → its domain) feeding a domain-sized weighted edge list.
+
+PageRank (damping d = 85/100, SCALE = 10^6, ITERS fixed):
+  rank_0(v)   = SCALE
+  contrib(e)  = (rank(src)·m(e)) div out_w(src)      -- per weighted edge
+  rank'(v)    = (15·SCALE) div 100 + (85·Σ contrib) div 100
+Dangling-node mass (a node whose only links were self-loops) is dropped,
+not redistributed — documented classic simplification; nodes with no
+in-links settle at the (15·SCALE) div 100 base.
+
+Scale shape (100 TB): the ONLY corpus-sized work is the outlink
+derivation and the one equi-join mapping target ids to domains
+(skew-free key: doc_id). Everything after — edges, out-weights, ranks —
+is domain-cardinality (millions of rows at web scale, not trillions),
+so each of the ITERS iterations is a broadcast-joinable agg; the loop
+builds one fixed logical plan, no driver-side data movement. At
+billion-node graphs the rank join flips to a shuffled equi-join and the
+iteration count stays the knob (checkpoint every ~10 iterations to cut
+lineage depth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85, exact rational
+PR_ITERS = 3
+# outlink derivation multipliers (arbitrary coprime-ish constants)
+LINK_A1, LINK_B1 = 31, 7
+LINK_A2, LINK_B2 = 17, 3
+
+
+def crawl_edges(docs: DataFrame, id_col: str, src_col: str) -> DataFrame:
+    """Weighted domain-level edge list (src, dst, m) from per-doc
+    deterministic outlinks. Corpus-sized work: one union of two narrow
+    projections + one equi-join on the target doc id."""
+    tot = docs.agg(F.count("*").alias("n_docs"))
+    base = docs.select(F.col(src_col).alias("src"), F.col(id_col)).crossJoin(
+        F.broadcast(tot)
+    )
+    targets = base.select(
+        "src",
+        F.expr(f"({id_col} * {LINK_A1} + {LINK_B1}) % n_docs").alias("t"),
+    ).unionAll(
+        base.select(
+            "src",
+            F.expr(f"({id_col} * {LINK_A2} + {LINK_B2}) % n_docs").alias("t"),
+        )
+    )
+    resolved = targets.join(
+        docs.select(F.col(id_col).alias("t"), F.col(src_col).alias("dst")), "t"
+    )
+    return (
+        resolved.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+
+
+def pagerank(
+    docs: DataFrame,
+    id_col: str,
+    src_col: str,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Integer-exact PageRank over the derived crawl graph.
+
+    Returns (source, out_w, rank) — one row per domain, rank after
+    ``iters`` iterations in scaled-integer units (base = 0.15·scale).
+    """
+    edges = crawl_edges(docs, id_col, src_col)
+    outw = edges.groupBy("src").agg(F.sum("m").cast("long").alias("out_w"))
+    nodes = docs.select(F.col(src_col).alias("node")).distinct()
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
+
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(outw, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("(rank * m) div out_w")).cast("long").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, 0)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return (
+        ranks.join(outw.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            F.col("node").alias("source"),
+            F.coalesce(F.col("out_w"), F.lit(0)).cast("long").alias("out_w"),
+            # pr_rank, not "rank": RANK is a window keyword in ANSI
+            # engines and the oracle must alias the same name
+            F.col("rank").alias("pr_rank"),
+        )
+    )

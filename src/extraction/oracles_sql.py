@@ -2492,3 +2492,52 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
 FROM tok JOIN model USING (bucket)
 GROUP BY 1, 2
 """
+
+# Crawl-graph PageRank (mirror of q_graph_pagerank / graph.pagerank):
+# 3 unrolled integer-exact iterations, damping 85/100, SCALE 10^6.
+# // is BIGINT floor division on positive operands = Spark `div`;
+# (15*SCALE)//100 = 150000 is the teleport base. Dangling mass drops
+# (classic simplification, documented in graph.py); column is pr_rank
+# because RANK is a window keyword.
+ORACLES["graph_pagerank"] = """
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+targets AS (
+  SELECT source AS src, (doc_id * 31 + 7) % (SELECT n FROM tot) AS t FROM documents
+  UNION ALL
+  SELECT source AS src, (doc_id * 17 + 3) % (SELECT n FROM tot) AS t FROM documents
+), edges AS (
+  SELECT tg.src, d.source AS dst, CAST(COUNT(*) AS BIGINT) AS m
+  FROM targets tg JOIN documents d ON tg.t = d.doc_id
+  WHERE tg.src <> d.source
+  GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(m) AS BIGINT) AS out_w FROM edges GROUP BY 1
+), nodes AS (SELECT DISTINCT source AS node FROM documents),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+c1 AS (
+  SELECT e.dst AS node, SUM((r0.r * e.m) // o.out_w) AS s
+  FROM edges e JOIN outw o USING (src) JOIN r0 ON e.src = r0.node
+  GROUP BY 1
+), r1 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c1 c USING (node)
+), c2 AS (
+  SELECT e.dst AS node, SUM((r1.r * e.m) // o.out_w) AS s
+  FROM edges e JOIN outw o USING (src) JOIN r1 ON e.src = r1.node
+  GROUP BY 1
+), r2 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c2 c USING (node)
+), c3 AS (
+  SELECT e.dst AS node, SUM((r2.r * e.m) // o.out_w) AS s
+  FROM edges e JOIN outw o USING (src) JOIN r2 ON e.src = r2.node
+  GROUP BY 1
+), r3 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c3 c USING (node)
+)
+SELECT r3.node AS source,
+       CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w,
+       r3.r AS pr_rank
+FROM r3 LEFT JOIN outw o ON r3.node = o.src
+"""

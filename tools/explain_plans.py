@@ -941,6 +941,22 @@ def main() -> int:
         },
     )
 
+    # crawl-graph PageRank: the target-id resolution is an equi-join
+    # (never cartesian), the domain-sized rank/edge joins broadcast,
+    # and the whole fixed-iteration loop is one JVM-side plan
+    pr = entry.q_graph_pagerank(spark, SF_DIR)
+    ppr = plan_of(pr)
+    check(
+        "graph pagerank (equi-join resolution, broadcast rank loop)",
+        ppr,
+        {
+            "domain-sized joins broadcast": "BroadcastHashJoin" in ppr,
+            "no cartesian": "CartesianProduct" not in ppr,
+            "map-side partial agg": "partial_sum" in ppr or "partial_count" in ppr,
+            "no Python in the hot path": "Python" not in ppr,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
