@@ -244,6 +244,17 @@ def main() -> int:
             "efficiency": sj["efficiency"],
             "source": "BENCH/scaling.json (spark-submit protocol, best-of-3)",
         }
+        # same protocol re-run in a VERIFIED quiet window (membw probe
+        # 33 GB/s; walls in a 5% band) — see BENCH/BASELINE.md
+        # "r3 quiet-window replicate"
+        with open(
+            os.path.join(_REPO, "BENCH", "scaling_120k_quiet_r3g.json")
+        ) as f:
+            qj = json.load(f)
+        protocol["quiet_window_replicate"] = {
+            "efficiency": qj["efficiency"],
+            "source": "BENCH/scaling_120k_quiet_r3g.json",
+        }
     except Exception:
         pass
 

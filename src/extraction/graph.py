@@ -87,7 +87,12 @@ def pagerank(
     Returns (source, out_w, rank) — one row per domain, rank after
     ``iters`` iterations in scaled-integer units (base = 0.15·scale).
     """
-    edges = crawl_edges(docs, id_col, src_col)
+    # the edge AGGREGATE is domain-sized but its lineage is corpus-sized
+    # (outlink derivation + the target-resolution join); the rank loop
+    # references it once per iteration plus outw — localCheckpoint
+    # truncates the lineage so the corpus is scanned once, not 4x
+    # (same discipline as the minhash signature table, CLAUDE.md)
+    edges = crawl_edges(docs, id_col, src_col).localCheckpoint(eager=False)
     outw = edges.groupBy("src").agg(F.sum("m").cast("long").alias("out_w"))
     nodes = docs.select(F.col(src_col).alias("node")).distinct()
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
