@@ -2731,6 +2731,62 @@ def q_text_classifier_score(spark, sf_dir):
     return hashed_linear_scores(d, "text", "doc_id", "lang")
 
 
+def q_g5_watershed_basins(spark, sf_dir):
+    """G5 analog: watershed segmentation degenerated to the 1-D
+    projection profile (reference: distance transform + peak_local_max
+    + watershed, /root/reference/src/detect.py:40-47 — the exploration
+    path SURVEY §2.3 recorded as unmapped). In span space the binary
+    mask's distance transform peaks once per run (G1 already yields
+    that), so the MEANINGFUL 1-D degeneration floods the DENSITY
+    profile: split each contiguous activity run at strict local minima
+    — the cut G1's gap rule cannot make (a valley with no zero gap).
+    Rule, deterministic in both engines: a basin starts at the first
+    position of a run, after an axis gap, or AT a strict valley
+    (prev > n < next; the minimum joins the right basin); plateau
+    valleys do not cut (no strict inequality). Per (user, basin):
+    bounds, peak height, mass. Scale shape: one shuffle on user_id;
+    lag/cumsum windows are PARTITIONED by user over a bounded 24-row
+    hour axis — no global-order funnel (contrast the documented
+    global-window caveat in q_x4_find_separators)."""
+    ev = _t(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        F.col("user_id"), F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("user_id").orderBy("hour")
+    flagged = (
+        prof.withColumn("prev_h", F.lag("hour").over(w))
+        .withColumn("prev_n", F.lag("n").over(w))
+        .withColumn("next_h", F.lead("hour").over(w))
+        .withColumn("next_n", F.lead("n").over(w))
+        .withColumn(
+            "new_basin",
+            F.when(
+                F.col("prev_h").isNull()
+                | (F.col("hour") - F.col("prev_h") != 1)
+                # valley only between CONTIGUOUS neighbors on both
+                # sides — a decline into an axis gap is a run tail,
+                # not an interior valley, and must not cut
+                | (
+                    (F.col("prev_n") > F.col("n"))
+                    & (F.col("n") < F.col("next_n"))
+                    & (F.col("next_h") == F.col("hour") + 1)
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    basins = flagged.withColumn(
+        "basin", F.sum("new_basin").over(w).cast("long")
+    )
+    return basins.groupBy("user_id", "basin").agg(
+        F.min("hour").cast("long").alias("start_hour"),
+        F.max("hour").cast("long").alias("end_hour"),
+        F.count("*").cast("long").alias("n_hours"),
+        F.max("n").cast("long").alias("peak"),
+        F.sum("n").cast("long").alias("mass"),
+    )
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Crawl-graph domain authority: integer-exact PageRank (damping
     85/100, 3 iterations, scaled by 10^6) over a domain link graph
@@ -2866,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "text_classifier_score": q_text_classifier_score,
         "graph_pagerank": q_graph_pagerank,
+        "g5_watershed_basins": q_g5_watershed_basins,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

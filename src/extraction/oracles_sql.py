@@ -2541,3 +2541,38 @@ SELECT r3.node AS source,
        r3.r AS pr_rank
 FROM r3 LEFT JOIN outw o ON r3.node = o.src
 """
+
+# 1-D watershed basins (mirror of q_g5_watershed_basins): per-user
+# hourly profile, basin starts at run start, axis gap, or a STRICT
+# valley between contiguous neighbors (the minimum joins the right
+# basin; plateau valleys never cut; a decline into a gap is a run
+# tail, not a valley). Reference analog: distance-transform watershed,
+# /root/reference/src/detect.py:40-47, degenerated to the 1-D profile.
+ORACLES["g5_watershed_basins"] = """
+WITH prof AS (
+  SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), flagged AS (
+  SELECT user_id, hour, n,
+         CASE WHEN lag(hour) OVER w IS NULL
+               OR hour - lag(hour) OVER w != 1
+               OR (lag(n) OVER w > n AND n < lead(n) OVER w
+                   AND lead(hour) OVER w = hour + 1)
+              THEN 1 ELSE 0 END AS new_basin
+  FROM prof
+  WINDOW w AS (PARTITION BY user_id ORDER BY hour)
+), basins AS (
+  SELECT user_id, hour, n,
+         CAST(SUM(new_basin) OVER (PARTITION BY user_id ORDER BY hour)
+              AS BIGINT) AS basin
+  FROM flagged
+)
+SELECT user_id, basin,
+       CAST(MIN(hour) AS BIGINT) AS start_hour,
+       CAST(MAX(hour) AS BIGINT) AS end_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(n) AS BIGINT) AS peak,
+       CAST(SUM(n) AS BIGINT) AS mass
+FROM basins GROUP BY 1, 2
+"""
