@@ -941,6 +941,21 @@ def main() -> int:
         },
     )
 
+    # watershed basins: every window must be PARTITIONED by user (the
+    # bounded hour axis) — no SinglePartition global-order funnel
+    wb = entry.q_g5_watershed_basins(spark, SF_DIR)
+    pwb = plan_of(wb)
+    check(
+        "watershed basins (partitioned windows, no global funnel)",
+        pwb,
+        {
+            "no SinglePartition exchange": "SinglePartition" not in pwb,
+            "map-side partial agg": "partial_count" in pwb or "partial_sum" in pwb,
+            "no join / cartesian": "Join" not in pwb,
+            "no Python in the hot path": "Python" not in pwb,
+        },
+    )
+
     # crawl-graph PageRank: the target-id resolution is an equi-join
     # (never cartesian), the domain-sized rank/edge joins broadcast,
     # and the whole fixed-iteration loop is one JVM-side plan
