@@ -1605,17 +1605,11 @@ def q_text_top_ngrams(spark, sf_dir):
     combine carries only (ngram, partial_count) into the shuffle; the
     global top-k is a 20-row sort. Deterministic tie-break (count desc,
     ngram asc) so Spark and the oracle pick the same 20."""
-    from extraction.textops import words
+    from extraction.textops import word_bigrams
 
     d = _par(spark, _t(spark, sf_dir, "documents"))
-    w = words(F.col("text"))
-    bigrams = F.zip_with(
-        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     return (
-        d.select(F.explode(bigrams).alias("ngram"))
+        d.select(F.explode(word_bigrams(F.col("text"))).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("ngram"))

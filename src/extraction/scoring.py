@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textops import quality_score, words
+from .textops import quality_score, word_bigrams, words
 
 SCALE = 1_000_000
 ALPHA_NUM, ALPHA_DEN = 2, 5  # stupid-backoff alpha = 0.4, exact rational
@@ -61,23 +61,6 @@ CLS_DIMS = 256  # hashed-feature buckets of the synthetic classifier
 # LCG constants for the synthetic weight table (Numerical Recipes);
 # weight(b) = ((b·1103515245 + 12345) mod 2001) − 1000 in [−1000, 1000]
 _LCG_A, _LCG_C, _W_MOD, _W_OFF = 1103515245, 12345, 2001, 1000
-
-
-def _bigrams(col: Column) -> Column:
-    """Positional word bigrams as 'w1 w2' strings (array<string>).
-
-    zip_with of the raw whitespace-word array against its own tail —
-    the q_text_top_ngrams idiom: bigrams are built narrow inside the
-    row, no per-token explode before counting. ws-split tokens contain
-    no whitespace, so the single-space join is reversible.
-    """
-    w = words(col)
-    n1 = F.greatest(F.size(w) - 1, F.lit(0))
-    return F.zip_with(
-        F.slice(w, 1, n1),
-        F.slice(w, 2, n1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
 
 
 def lm_score_table(
@@ -112,7 +95,7 @@ def lm_score_table(
     # the scaled conditional probability (SCALE·c2) div c1(w1) — the
     # join is model-sized (|observed bigrams| rows), never corpus-sized
     bi = (
-        train.select(F.explode(_bigrams(F.col(text_col))).alias("ngram"))
+        train.select(F.explode(word_bigrams(F.col(text_col))).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").cast("long").alias("c2"))
         .withColumn("w1", F.element_at(F.split(F.col("ngram"), " "), 1))
@@ -132,7 +115,7 @@ def lm_score_table(
     doc_bg = (
         df.select(
             F.col(id_col), F.col(lang_col),
-            F.explode(_bigrams(F.col(text_col))).alias("ngram"),
+            F.explode(word_bigrams(F.col(text_col))).alias("ngram"),
         )
         .groupBy(id_col, lang_col, "ngram")
         .agg(F.count("*").cast("long").alias("m"))
@@ -154,7 +137,7 @@ def lm_score_table(
     )
 
 
-def classifier_weights(spark) -> DataFrame:
+def classifier_weights(spark, dims: int = CLS_DIMS) -> DataFrame:
     """The synthetic (bucket, weight) model table — dims rows.
 
     Deterministic LCG of the bucket id, reproducible in any SQL engine
@@ -162,7 +145,7 @@ def classifier_weights(spark) -> DataFrame:
     the model-artifact seat: a trained fastText/logistic model loads
     its quantized weights into exactly this shape.
     """
-    return spark.range(CLS_DIMS).select(
+    return spark.range(dims).select(
         F.col("id").alias("bucket"),
         F.expr(
             f"(id * {_LCG_A} + {_LCG_C}) % {_W_MOD} - {_W_OFF}"
@@ -202,7 +185,7 @@ def hashed_linear_scores(
         .agg(F.count("*").cast("long").alias("m"))
     )
     return (
-        tok.join(F.broadcast(classifier_weights(spark)), "bucket")
+        tok.join(F.broadcast(classifier_weights(spark, dims)), "bucket")
         .groupBy(id_col, lang_col)
         .agg(
             F.sum("m").cast("long").alias("n_tokens"),

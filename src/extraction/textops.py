@@ -184,6 +184,30 @@ def word_shingles_seq(col: Column, k: int = 3) -> Column:
     return F.element_at(F.transform(F.array(ws), chain), 1)
 
 
+def word_bigrams(col: Column) -> Column:
+    """Positional word bigrams as 'w1 w2' strings (array<string>), in
+    document order with duplicates kept — the LM / top-ngrams form.
+
+    zip_with of the word array against its own tail; ws-split tokens
+    contain no whitespace, so the single-space join is reversible. The
+    split subtree is LET-BOUND via the single-element transform (the
+    word_shingles_seq discipline) so interpreted evaluation paths —
+    Generate/explode above all — split the text once per row, not once
+    per slice reference.
+    """
+    ws = words(col)
+
+    def bigrams_of(w_: Column) -> Column:
+        n1 = F.greatest(F.size(w_) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(w_, 1, n1),
+            F.slice(w_, 2, n1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+
+    return F.element_at(F.transform(F.array(ws), bigrams_of), 1)
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text (array<string>) —
     the set form every Jaccard-family operator consumes. See

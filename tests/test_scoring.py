@@ -111,3 +111,17 @@ def test_classifier_matches_python_reference(spark, tmp_path):
         assert (r["n_tokens"], r["score"], r["label"]) == (
             len(ws), score, 1 if score >= 0 else 0
         )
+
+
+def test_classifier_dims_threads_to_model(spark, tmp_path):
+    """dims > CLS_DIMS must widen the model table too — a mod-512
+    bucket with a 256-row model would silently drop ~half the tokens
+    through the inner join (regression pin for the dims parameter)."""
+    from extraction.scoring import hashed_linear_scores
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat and more words here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = hashed_linear_scores(df, "text", "doc_id", "lang", dims=512).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 10
