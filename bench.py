@@ -290,6 +290,7 @@ def main() -> int:
         reps = []
         for name in (
             "scaling_1m_pinned_r3e.json",
+            "scaling_1m_pinned_r3h.json",
             "scaling_1m_pinned_r3f.json",
             "scaling_1m_pinned_r3.json",
             "scaling_1m_pinned_r3b.json",
