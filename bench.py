@@ -291,6 +291,7 @@ def main() -> int:
         for name in (
             "scaling_1m_pinned_r3e.json",
             "scaling_1m_pinned_r3h.json",
+            "scaling_1m_pinned_r3i.json",
             "scaling_1m_pinned_r3f.json",
             "scaling_1m_pinned_r3.json",
             "scaling_1m_pinned_r3b.json",
@@ -304,7 +305,15 @@ def main() -> int:
                 # efficiencies (cross-window best-legs pooling can mix a
                 # contended window's leg into the ratio — r3f's 0.754
                 # pooled vs 0.848 same-window); else the file's headline
-                pairs = j.get("interleaved_pair_efficiencies") or []
+                # pairs > 1.0 are excluded: supra-linear efficiency on
+                # a fixed pipeline means the N leg was crushed mid-pair
+                # (r3i pair 2: n1 633.9 s vs 374.6 s in-window) — an
+                # artifact that would OVERSTATE, not a measurement
+                pairs = [
+                    p
+                    for p in (j.get("interleaved_pair_efficiencies") or [])
+                    if p <= 1.0
+                ]
                 reps.append(max(pairs) if pairs else j["efficiency"])
             except Exception:
                 pass
