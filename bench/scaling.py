@@ -506,6 +506,16 @@ def main() -> int:
              "the cleanest same-window pair is visible alongside best-of.",
     )
     a = p.parse_args()
+    if a.gate_membw > 4.0:
+        # this probe's scale TOPS OUT ~3.5 GB/s in a quiet window (0.2
+        # GB counted once over an allocating buf.copy()); a threshold
+        # above that is unsatisfiable and the gate waits forever. Other
+        # probes (preallocated copyto, 2x traffic counting) read ~10x
+        # higher for the same window — do not mix scales.
+        p.error(
+            f"--gate-membw {a.gate_membw} exceeds this probe's quiet-window "
+            "ceiling (~3.5 GB/s on its own scale); use ~3.0"
+        )
 
     subprocess.run(["sh", os.path.join(REPO, "bench", "package.sh")], check=True)
     os.makedirs(a.workdir, exist_ok=True)
