@@ -2800,6 +2800,41 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(d, "doc_id", "source")
 
 
+def q_t12_split_leakage(spark, sf_dir):
+    """Train/eval split-leakage audit — the dedup-BEFORE-split guard
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" measure eval contamination from near-dups crossing the
+    split boundary). A naive doc-level random split (md5(doc_id) % 3,
+    the split T5's GROUP-level rule exists to replace) is joined onto
+    the verified near-dup pair table (the exact lsh_verified stage);
+    each pair lands in an unordered split-pair cell. Off-diagonal
+    cells (split_lo != split_hi) are LEAKED pairs: near-identical
+    content on both sides of the boundary. Scale shape: the pair table
+    is permille-of-corpus; the two split joins are narrow id lookups
+    (broadcastable pair side); one 6-cell agg. Every count integer."""
+    from extraction.dedup import lsh_verified_pairs
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    pairs = lsh_verified_pairs(
+        d, "text", "doc_id", k=3, perms=16, bands=4,
+        threshold_num=1, threshold_den=2,
+    )
+    split = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 3
+    )
+    sp = d.select(F.col("doc_id").cast("long").alias("doc_id"), split.alias("split"))
+    tagged = (
+        pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+        .join(sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+    )
+    return tagged.groupBy(
+        F.least("sa", "sb").alias("split_lo"),
+        F.greatest("sa", "sb").alias("split_hi"),
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full extraction pipeline."""
     return q_extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -2917,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_score": q_text_classifier_score,
         "graph_pagerank": q_graph_pagerank,
         "g5_watershed_basins": q_g5_watershed_basins,
+        "t12_split_leakage": q_t12_split_leakage,
         # tail: redundant variants of concepts whose representative row
         # sits in the first 50 — if the driver's budget cuts the dict at
         # 50 (as it did in round 2), these six are the casualties:

@@ -2576,3 +2576,25 @@ SELECT user_id, basin,
        CAST(SUM(n) AS BIGINT) AS mass
 FROM basins GROUP BY 1, 2
 """
+
+# Train/eval split-leakage audit (mirror of q_t12_split_leakage): the
+# verified near-dup pair table (dedup_lsh_verified's own SQL, nested
+# verbatim as a CTE so the two stay in lockstep) joined to a naive
+# doc-level md5 % 3 split; off-diagonal (split_lo != split_hi) cells
+# are leaked pairs across the split boundary.
+ORACLES["t12_split_leakage"] = f"""
+WITH vp AS (
+{ORACLES["dedup_lsh_verified"]}
+), sp AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 3 AS BIGINT) AS split
+  FROM documents
+)
+SELECT LEAST(a.split, b.split) AS split_lo,
+       GREATEST(a.split, b.split) AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM vp JOIN sp a ON vp.id_a = a.doc_id
+        JOIN sp b ON vp.id_b = b.doc_id
+GROUP BY 1, 2
+"""
