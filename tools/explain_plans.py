@@ -941,6 +941,21 @@ def main() -> int:
         },
     )
 
+    # split-leakage audit: the pair table is permille-of-corpus so the
+    # two split joins must be broadcast; no cartesian anywhere
+    sl = entry.q_t12_split_leakage(spark, SF_DIR)
+    psl = plan_of(sl)
+    check(
+        "split leakage (broadcast split joins, no cartesian)",
+        psl,
+        {
+            "broadcast join present": "BroadcastHashJoin" in psl,
+            "no cartesian": "CartesianProduct" not in psl,
+            "map-side partial agg": "partial_count" in psl,
+            "no Python in the hot path": "Python" not in psl,
+        },
+    )
+
     # watershed basins: every window must be PARTITIONED by user (the
     # bounded hour axis) — no SinglePartition global-order funnel
     wb = entry.q_g5_watershed_basins(spark, SF_DIR)
