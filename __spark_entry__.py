@@ -1289,17 +1289,19 @@ def q_ann_multiprobe_top1(spark, sf_dir):
 def q_ann_ivf_top1(spark, sf_dir):
     """IVF-flat top-1: nearest-centroid inverted lists, probe own list
     only. Centroids = the first 8 corpus vectors (deterministic stand-in
-    for offline-trained k-means centroids — the collect is the
-    model-artifact load, 8 rows, not a data path)."""
-    from extraction.similarity import ivf_topk
+    for offline-trained k-means centroids). Runs on the ivf_join_topk
+    broadcast-DATA form — the literal-plan ivf_topk twin answers
+    identically (tests/test_dedup_similarity.py parity) but compiles
+    every centroid into the expression tree, which measured ~7s vs
+    ~1.3s here and degrades superlinearly with list count."""
+    from extraction.similarity import ivf_join_topk
 
     e = _par(spark, _t(spark, sf_dir, "embeddings"))
-    cents = [
-        list(r.embedding)
-        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ]
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("embedding").alias("cv")
+    )
     q = e.filter(F.col("vec_id") < 30)
-    return ivf_topk(e, q, "embedding", "vec_id", centroids=cents, k=1).select(
+    return ivf_join_topk(e, q, "embedding", "vec_id", centroids=cents, k=1).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
     )
@@ -1307,16 +1309,16 @@ def q_ann_ivf_top1(spark, sf_dir):
 
 def q_ann_ivf_probe2_top1(spark, sf_dir):
     """IVF-flat with nprobe=2: each query probes its two nearest lists —
-    the IVF recall lever (Voronoi-boundary analog of LSH multi-probe)."""
-    from extraction.similarity import ivf_topk
+    the IVF recall lever (Voronoi-boundary analog of LSH multi-probe).
+    Broadcast-DATA centroid form (see q_ann_ivf_top1)."""
+    from extraction.similarity import ivf_join_topk
 
     e = _par(spark, _t(spark, sf_dir, "embeddings"))
-    cents = [
-        list(r.embedding)
-        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ]
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("embedding").alias("cv")
+    )
     q = e.filter(F.col("vec_id") < 30)
-    return ivf_topk(
+    return ivf_join_topk(
         e, q, "embedding", "vec_id", centroids=cents, k=1, nprobe=2
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
