@@ -2295,13 +2295,11 @@ def q_t10_curriculum_shards(spark, sf_dir):
         F.col("doc_id").cast("long").alias("id"),
         quality_score(F.col("text")).cast("long").alias("q"),
     ).localCheckpoint(eager=True)
-    hist = sorted((r["q"], r["n"]) for r in per.groupBy("q").agg(
-        F.count("*").alias("n")).collect())
-    n = sum(c for _, c in hist)
-    prefix, acc = {}, 0
-    for qv, c in hist:
-        prefix[qv] = acc
-        acc += c
+    # guarded driver-prefix: fails fast past 1024 distinct values so a
+    # wide-domain quality column can't silently become a driver funnel
+    from extraction.packing import bounded_prefix_hist
+
+    prefix, n = bounded_prefix_hist(per, "q")
     pmap = F.create_map(
         *[F.lit(x) for qv in prefix for x in (qv, prefix[qv])]
     )
@@ -2802,6 +2800,22 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(d, "doc_id", "source")
 
 
+def q_graph_pagerank_conserve(spark, sf_dir):
+    """Mass-conserving PageRank: Σ pr_rank == n_domains·10^6 EXACTLY
+    after every iteration (the oracle hash pins it). Un-delivered mass
+    — dangling nodes plus every floor-division truncation, one scalar
+    per iteration — is redistributed with deterministic largest-
+    remainder (Hamilton) apportionment, so ranks are safe to use as
+    sampling weights (t7_mixture_sample) where plain graph_pagerank's
+    dropped mass would bias the mixture. Same edge derivation and scale
+    shape as graph_pagerank plus two scalar aggs and two domain-sized
+    apportionment windows per iteration. See graph.pagerank_conserving."""
+    from extraction.graph import pagerank_conserving
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    return pagerank_conserving(d, "doc_id", "source")
+
+
 def q_t12_split_leakage(spark, sf_dir):
     """Train/eval split-leakage audit — the dedup-BEFORE-split guard
     (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
@@ -2953,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "text_classifier_score": q_text_classifier_score,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_conserve": q_graph_pagerank_conserve,
         "g5_watershed_basins": q_g5_watershed_basins,
         "t12_split_leakage": q_t12_split_leakage,
         # tail: redundant variants of concepts whose representative row

@@ -309,11 +309,13 @@ def main() -> int:
                 # a fixed pipeline means the N leg was crushed mid-pair
                 # (r3i pair 2: n1 633.9 s vs 374.6 s in-window) — an
                 # artifact that would OVERSTATE, not a measurement
-                pairs = [
-                    p
-                    for p in (j.get("interleaved_pair_efficiencies") or [])
-                    if p <= 1.0
-                ]
+                raw_pairs = j.get("interleaved_pair_efficiencies") or []
+                pairs = [p for p in raw_pairs if p <= 1.0]
+                if raw_pairs and not pairs:
+                    # every pair supra-linear: the N leg was crushed in
+                    # every window, and the pooled headline embeds the
+                    # same artifact — skip the file entirely
+                    continue
                 reps.append(max(pairs) if pairs else j["efficiency"])
             except Exception:
                 pass

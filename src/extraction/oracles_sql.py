@@ -2468,7 +2468,7 @@ GROUP BY 1, 2
 
 # fastText-style hashed linear classifier (mirror of
 # q_text_classifier_score / scoring.hashed_linear_scores): token ->
-# md5-prefix bucket mod 256 (the fingerprint64 portability convention),
+# 32-bit md5-prefix bucket mod 256 (portable cross-engine),
 # weight = LCG(bucket) in [-1000, 1000], doc score = sum of weights
 # with multiplicity, label = sign.
 ORACLES["text_classifier_score"] = """
@@ -2505,6 +2505,9 @@ targets AS (
   SELECT source AS src, (doc_id * 31 + 7) % (SELECT n FROM tot) AS t FROM documents
   UNION ALL
   SELECT source AS src, (doc_id * 17 + 3) % (SELECT n FROM tot) AS t FROM documents
+  UNION ALL
+  SELECT source AS src, (doc_id * 13 + 5) % (SELECT n FROM tot) AS t
+  FROM documents WHERE doc_id % 7 = 0
 ), edges AS (
   SELECT tg.src, d.source AS dst, CAST(COUNT(*) AS BIGINT) AS m
   FROM targets tg JOIN documents d ON tg.t = d.doc_id
@@ -2541,6 +2544,77 @@ SELECT r3.node AS source,
        r3.r AS pr_rank
 FROM r3 LEFT JOIN outw o ON r3.node = o.src
 """
+
+# Mass-conserving PageRank (mirror of q_graph_pagerank_conserve /
+# graph.pagerank_conserving): same edge derivation, but un-delivered
+# mass (dangling + per-edge floor loss, ONE scalar L = n·SCALE − Σs)
+# is redistributed L//n to all plus +1 to the first L%n nodes in node
+# order, and the 85/100 damping uses largest-remainder (Hamilton)
+# apportionment — Σ rank == n_nodes·10^6 exactly after every
+# iteration. The three iterations are generated, not hand-unrolled.
+
+
+def _pr_conserve_iter(i: int) -> str:
+    p = i - 1
+    return f"""c{i} AS (
+  SELECT e.dst AS node, SUM((r.r * e.m) // o.out_w) AS s
+  FROM edges e JOIN outw o USING (src) JOIN r{p} r ON e.src = r.node
+  GROUP BY 1
+), s{i} AS (
+  SELECT n.node, CAST(COALESCE(c.s, 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN c{i} c USING (node)
+), l{i} AS (
+  SELECT (SELECT total FROM tot2) - SUM(s) AS loss FROM s{i}
+), x{i} AS (
+  SELECT node, s + (SELECT loss FROM l{i}) // (SELECT nn FROM tot2)
+       + CASE WHEN row_number() OVER (ORDER BY node)
+              <= (SELECT loss FROM l{i}) % (SELECT nn FROM tot2)
+         THEN 1 ELSE 0 END AS x
+  FROM s{i}
+), d{i} AS (
+  SELECT node, (85 * x) // 100 AS d, (85 * x) % 100 AS rem FROM x{i}
+), r{i} AS (
+  SELECT node, CAST(150000 + d + CASE WHEN
+           row_number() OVER (ORDER BY rem DESC, node)
+           <= (SELECT SUM(rem) FROM d{i}) // 100
+         THEN 1 ELSE 0 END AS BIGINT) AS r
+  FROM d{i}
+)"""
+
+
+ORACLES["graph_pagerank_conserve"] = (
+    """
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+targets AS (
+  SELECT source AS src, (doc_id * 31 + 7) % (SELECT n FROM tot) AS t FROM documents
+  UNION ALL
+  SELECT source AS src, (doc_id * 17 + 3) % (SELECT n FROM tot) AS t FROM documents
+  UNION ALL
+  SELECT source AS src, (doc_id * 13 + 5) % (SELECT n FROM tot) AS t
+  FROM documents WHERE doc_id % 7 = 0
+), edges AS (
+  SELECT tg.src, d.source AS dst, CAST(COUNT(*) AS BIGINT) AS m
+  FROM targets tg JOIN documents d ON tg.t = d.doc_id
+  WHERE tg.src <> d.source
+  GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(m) AS BIGINT) AS out_w FROM edges GROUP BY 1
+), nodes AS (SELECT DISTINCT source AS node FROM documents),
+tot2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(COUNT(*) * 1000000 AS BIGINT) AS total
+  FROM nodes
+),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+"""
+    + ",\n".join(_pr_conserve_iter(i) for i in (1, 2, 3))
+    + """
+SELECT r3.node AS source,
+       CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w,
+       r3.r AS pr_rank
+FROM r3 LEFT JOIN outw o ON r3.node = o.src
+"""
+)
 
 # 1-D watershed basins (mirror of q_g5_watershed_basins): per-user
 # hourly profile, basin starts at run start, axis gap, or a STRICT

@@ -110,3 +110,34 @@ def pack_sequences(
             F.col("cum_before") % F.lit(budget) + F.col("n_tokens") - F.lit(budget),
         ).alias("spill"),
     )
+
+
+def bounded_prefix_hist(
+    df: DataFrame, col: str, max_distinct: int = 1024
+) -> tuple[dict, int]:
+    """Exclusive prefix counts over a BOUNDED-domain column, collected
+    to the driver: returns ({value: docs-with-strictly-smaller-value},
+    total). The driver-prefix global-rank pattern (t10 curriculum
+    shards) is only valid while the histogram stays model-sized — this
+    guard fails fast if a wide-domain column (e.g. a float score) would
+    silently turn the collect into a driver-side funnel; callers past
+    the bound should use the two-phase distributed scan above instead.
+    """
+    hist = sorted(
+        (r["v"], r["n"])
+        for r in df.groupBy(F.col(col).alias("v"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"prefix histogram over {col!r} has {len(hist)} distinct "
+            f"values (> {max_distinct}); the driver-prefix rank pattern "
+            "requires a bounded small domain — use the two-phase "
+            "distributed cumsum (pack_sequences) instead"
+        )
+    prefix, acc = {}, 0
+    for v, c in hist:
+        prefix[v] = acc
+        acc += c
+    return prefix, acc

@@ -162,8 +162,8 @@ def hashed_linear_scores(
 ) -> DataFrame:
     """Per-document hashed-linear-classifier scores.
 
-    Token -> portable md5-prefix hash mod dims (the fingerprint64
-    convention, reproducible cross-engine) -> broadcast join to the
+    Token -> portable 32-bit md5-prefix hash mod dims (substring(md5,
+    1, 8) — reproducible cross-engine) -> broadcast join to the
     weight table -> per-doc sum. Returns (id, lang, n_tokens, score,
     label) with label = 1 when score >= 0 else 0. Tokens are counted
     with multiplicity (bag-of-words, as fastText does); per-(doc,

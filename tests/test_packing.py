@@ -50,3 +50,21 @@ def test_doc_spanning_bins_spills(spark):
         for r in pack_sequences(df, "n_tokens", "doc_id", budget=512).collect()
     }
     assert got == {0: (0, 0, 0), 1: (500, 0, 488), 2: (1000, 1, 76)}
+
+
+def test_bounded_prefix_hist_exact_and_guard(spark):
+    from extraction.packing import bounded_prefix_hist
+
+    rows = [(i, i % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, q long")
+    prefix, n = bounded_prefix_hist(df, "q")
+    assert n == 50
+    # 10 docs per value; exclusive prefix = 10 * value
+    assert prefix == {v: 10 * v for v in range(5)}
+
+    # wide domain (every row distinct) must fail fast, not collect
+    wide = spark.createDataFrame([(i, i) for i in range(2000)],
+                                 "doc_id long, q long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="distinct"):
+        bounded_prefix_hist(wide, "q")
