@@ -2688,6 +2688,37 @@ def q_text_length_quantiles(spark, sf_dir):
     )
 
 
+def q_text_length_quantiles_sketch(spark, sf_dir):
+    """The approx-quantile SKETCH text_length_quantiles' docstring
+    promises as its production form: an HDR-style significant-bits log
+    histogram (round each n_tokens down to 4 significant bits — pure
+    shift/or/bit_count integer ops, identical in both engines) whose
+    state is a per-(lang, bucket) count table bounded at ~520 buckets
+    per lang REGARDLESS of corpus size. The state is algebraic: it
+    map-side combines and shards/days merge by per-key count addition
+    (merge law pinned by tests/test_quantile_sketch.py, mirroring
+    test_hll_merge.py). Estimates use the same type-1 rank rule as the
+    exact form; est <= exact < est·(1 + 2^-3) is the pinned error
+    bound, asserted against the exact quantiles in pytest. No
+    corpus-sized sort or per-lang single-task window — the scale path
+    the exact form cannot take."""
+    from extraction.textops import (
+        quantile_sketch_estimate,
+        quantile_sketch_hist,
+        token_count_ws,
+    )
+
+    d = _par(spark, _t(spark, sf_dir, "documents")).select(
+        "lang", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    hist = quantile_sketch_hist(d, "n_tokens", "lang", sig_bits=4)
+    return quantile_sketch_estimate(hist, [25, 50, 75, 90]).select(
+        F.col("grp").alias("lang"),
+        F.col("pct").cast("long").alias("pct"),
+        F.col("est").cast("long").alias("est_tokens"),
+    )
+
+
 def q_text_lm_score(spark, sf_dir):
     """CCNet-style bigram-LM quality scoring (Wenzek et al. 2020): a
     stupid-backoff bigram model is trained distributively on the
@@ -2964,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_orc_roundtrip": q_s10_orc_roundtrip,
         "s11_csv_roundtrip": q_s11_csv_roundtrip,
         "text_length_quantiles": q_text_length_quantiles,
+        "text_length_quantiles_sketch": q_text_length_quantiles_sketch,
         "text_lm_score": q_text_lm_score,
         "text_classifier_score": q_text_classifier_score,
         "graph_pagerank": q_graph_pagerank,

@@ -2139,6 +2139,46 @@ SELECT r.lang, CAST(t.pct AS BIGINT) AS pct, CAST(r.n_tokens AS BIGINT) AS n_tok
 FROM ranked r JOIN targets t ON r.lang = t.lang AND r.rn = t.target
 """
 
+# HDR-histogram quantile sketch (mirror of q_text_length_quantiles_sketch
+# / textops.sig_bucket_lo): each n_tokens rounded down to 4 significant
+# bits via the integer smear+bit_count bit-length (no float log2), then
+# per-(lang, lo) counts, cumulative rank over the ~520-bucket state, and
+# the same type-1 rank rule as the exact form. DuckDB's lateral column
+# aliases chain the smear steps without expression blowup.
+ORACLES["text_length_quantiles_sketch"] = f"""
+WITH d AS (
+  SELECT lang, CAST({_WS_COUNT} AS BIGINT) AS v FROM documents
+), lo AS (
+  SELECT lang,
+         v | (v>>1) AS s1,
+         s1 | (s1>>2) AS s2,
+         s2 | (s2>>4) AS s3,
+         s3 | (s3>>8) AS s4,
+         s4 | (s4>>16) AS s5,
+         s5 | (s5>>32) AS s6,
+         greatest(0, CAST(bit_count(s6) AS BIGINT) - 4) AS sh,
+         (v >> sh) << sh AS lo
+  FROM d
+), hist AS (
+  SELECT lang, lo, CAST(COUNT(*) AS BIGINT) AS cnt FROM lo GROUP BY 1, 2
+), cum AS (
+  SELECT lang, lo, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY lo) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY lo) - cnt AS cum_before
+  FROM hist
+), counts AS (
+  SELECT lang, SUM(cnt) AS n FROM hist GROUP BY 1
+), targets AS (
+  SELECT c.lang, p.pct,
+         CAST(floor(p.pct * (c.n - 1) / 100) + 1 AS BIGINT) AS target
+  FROM counts c CROSS JOIN (VALUES (25), (50), (75), (90)) AS p(pct)
+)
+SELECT cum.lang, CAST(t.pct AS BIGINT) AS pct,
+       CAST(cum.lo AS BIGINT) AS est_tokens
+FROM cum JOIN targets t
+  ON cum.lang = t.lang AND cum.cum_before < t.target AND t.target <= cum.cum
+"""
+
 
 # SQ8 quantized ANN (q_ann_sq8_top1): symmetric int8 quantization with
 # a power-of-two scale (floor(x*128) clamped to [-128,127] — exact in

@@ -499,3 +499,91 @@ def zorder_interleave(a: Column, b: Column, bits: int = 7) -> Column:
             + F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
         )
     return z.cast("long")
+
+
+def sig_bucket_lo(col: Column, sig_bits: int = 4) -> Column:
+    """Round a non-negative int64 down to ``sig_bits`` significant
+    bits — the bucket key of the HDR-histogram quantile sketch
+    (quantile_sketch_hist below). lo(v) = (v >> s) << s with
+    s = max(0, bitlen(v) - sig_bits), so lo <= v < lo + 2^s and the
+    relative bucket width is bounded: (v - lo)/v < 2^-(sig_bits-1).
+
+    bitlen via the classic smear (s |= s>>1 … s>>32, then bit_count) —
+    pure shift/or/bit_count integer ops that both Spark and DuckDB
+    evaluate identically; no float log2 (whose boundary rounding could
+    disagree across engines at exact powers of two). Total distinct
+    buckets over the full int64 domain: <= 64·2^(sig_bits-1) + 2^sig_bits
+    (~520 at sig_bits=4) — the sketch state is MODEL-sized by
+    construction, which is the whole point.
+    """
+    v = col.cast("long")
+    s = v
+    for sh in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftright(s, sh))
+    bitlen = F.bit_count(s)  # = floor(log2(v)) + 1 for v >= 1; 0 at v=0
+    shift = F.greatest(F.lit(0), (bitlen - F.lit(sig_bits)).cast("int"))
+    # F.shiftright/shiftleft only take literal ints; the SQL functions
+    # accept a column shift amount
+    return F.call_function(
+        "shiftleft", F.call_function("shiftright", v, shift), shift
+    ).cast("long")
+
+
+def quantile_sketch_hist(
+    df, val_col: str, group_col: str, sig_bits: int = 4
+):
+    """Mergeable quantile-sketch state: per-(group, bucket-lo) counts
+    over sig_bucket_lo. This is the production substitute for
+    text_length_quantiles' exact per-group sort at corpus scale: the
+    state is an algebraic agg (map-side combines; shards/days merge by
+    per-key count ADDITION — the merge law tests/test_quantile_sketch.py
+    pins, mirroring test_hll_merge.py), its size is bounded at ~520
+    buckets per group regardless of corpus size, and no corpus-sized
+    sort or per-group single-task window ever runs.
+    """
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            sig_bucket_lo(F.col(val_col), sig_bits).alias("lo"),
+        )
+        .groupBy("grp", "lo")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def quantile_sketch_estimate(hist, pcts: list[int]):
+    """Quantile estimates from the sketch state: for each pct, the lo
+    of the bucket containing rank floor(pct·(n−1)/100)+1 (same type-1
+    rank rule as the exact form). The exact quantile value lies inside
+    that bucket, so est <= exact < est·(1 + 2^-(sig_bits-1)) — the
+    pinned error bound. Window runs over the ~520-bucket state, not the
+    corpus. Returns (grp, pct, est).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    counts = hist.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    pdf = hist.sparkSession.createDataFrame([(p,) for p in pcts], "pct long")
+    targets = counts.crossJoin(F.broadcast(pdf)).select(
+        "grp",
+        "pct",
+        (F.floor(F.col("pct") * (F.col("n") - 1) / 100) + 1)
+        .cast("long")
+        .alias("target"),
+    )
+    return (
+        cum.join(
+            targets.withColumnRenamed("grp", "tgrp"),
+            (F.col("grp") == F.col("tgrp"))
+            & (F.col("cum_before") < F.col("target"))
+            & (F.col("target") <= F.col("cum")),
+        )
+        .select("grp", "pct", F.col("lo").alias("est"))
+    )
