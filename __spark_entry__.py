@@ -2831,6 +2831,25 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(d, "doc_id", "source")
 
 
+def q_text_bpe_vocab(spark, sf_dir):
+    """BPE vocabulary learning (Sennrich et al. 2016) — the tokenizer-
+    training seat text_oov_rate and t8_pack_sequences presuppose: 8
+    iterations of (count adjacent symbol pairs weighted by word-type
+    frequency, argmax with deterministic tie-break, greedy left-to-
+    right merge), returning the merge sequence (rank, left, right,
+    count) — the model artifact a tokenizer ships. Scale shape: corpus
+    touched ONCE (word histogram); every iteration runs over the
+    vocab-sized word-type table with a 1-row TakeOrdered per round
+    (emb_kmeans' k-row-model loop shape). The DuckDB oracle reproduces
+    the merge sequence bit-for-bit — replace()'s non-overlapping
+    left-to-right scan is BPE's merge rule on both engines. See
+    bpe.learn_bpe."""
+    from extraction.bpe import learn_bpe
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    return learn_bpe(d, "text", merges=8)
+
+
 def q_graph_pagerank_conserve(spark, sf_dir):
     """Mass-conserving PageRank: Σ pr_rank == n_domains·10^6 EXACTLY
     after every iteration (the oracle hash pins it). Un-delivered mass
@@ -3000,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_score": q_text_classifier_score,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_conserve": q_graph_pagerank_conserve,
+        "text_bpe_vocab": q_text_bpe_vocab,
         "g5_watershed_basins": q_g5_watershed_basins,
         "t12_split_leakage": q_t12_split_leakage,
         # tail: redundant variants of concepts whose representative row

@@ -2712,3 +2712,72 @@ FROM vp JOIN sp a ON vp.id_a = a.doc_id
         JOIN sp b ON vp.id_b = b.doc_id
 GROUP BY 1, 2
 """
+
+
+# BPE vocabulary learning (mirror of q_text_bpe_vocab / bpe.learn_bpe):
+# word-type frequency table -> SEP-bracketed char tokenization + EOW
+# (chr 30) -> k rounds of (pair count weighted by word freq, argmax
+# with cnt DESC / t1 / t2 tie-break, literal left-to-right replace).
+# replace()'s non-overlapping left-to-right scan IS BPE's greedy merge
+# rule on both engines; the bracketing chr(31) separators make a pair
+# match always consume whole symbols. Iterations generated, not
+# hand-unrolled. DuckDB needs the 'g' flag on regexp_replace (its
+# default replaces only the first occurrence; Spark replaces all).
+
+
+def _bpe_iter(i: int) -> str:
+    p = i - 1
+    # MATERIALIZED is load-bearing: each w{i} is referenced twice
+    # (p{i+1} and w{i+1}), so DuckDB's default CTE inlining copies the
+    # whole chain exponentially — 2^8 base scans exhausts the fd limit.
+    # The merge is a list_reduce fold (same greedy rule as
+    # bpe.merge_pair): plain replace() would skip consecutive pair
+    # occurrences (shared boundary separator). chr(17) is the
+    # transient just-merged mark, stripped at the end.
+    return f"""p{i} AS MATERIALIZED (
+  SELECT t1, t2, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(s[2:len(s)-2]) AS t1, unnest(s[3:len(s)-1]) AS t2
+    FROM (SELECT string_split(tok, chr(31)) AS s, freq FROM w{p})
+  ) GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT t1, t2, cnt FROM p{i} ORDER BY cnt DESC, t1, t2 LIMIT 1
+), w{i} AS MATERIALIZED (
+  SELECT word, freq,
+    replace(list_reduce(
+      list_prepend(chr(31), list_filter(string_split(tok, chr(31)),
+                                        t -> t <> '')),
+      (acc, x) -> CASE
+        WHEN ends_with(acc, chr(31) || bt1 || chr(31)) AND x = bt2
+        THEN substr(acc, 1, length(acc) - length(bt1) - 1)
+             || bt1 || bt2 || chr(17) || chr(31)
+        ELSE acc || x || chr(31) END
+    ), chr(17), '') AS tok
+  FROM w{p} CROSS JOIN (SELECT t1 AS bt1, t2 AS bt2 FROM b{i}) _b{i}
+)"""
+
+
+_BPE_MERGES = 8
+
+ORACLES["text_bpe_vocab"] = (
+    r"""
+WITH wf AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY 1
+), w0 AS MATERIALIZED (
+  SELECT word, freq,
+         chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g')
+                 || chr(30) || chr(31) AS tok
+  FROM wf
+),
+"""
+    + ",\n".join(_bpe_iter(i) for i in range(1, _BPE_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, t1 AS left_sym,"
+        f" t2 AS right_sym, cnt AS pair_count FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+)

@@ -1,0 +1,81 @@
+"""bpe.learn_bpe contract: the DataFrame BPE loop must reproduce a
+pure-Python reference implementation of classic word-frequency BPE
+(Sennrich et al. 2016) — same char+EOW start, pair counts weighted by
+word-type frequency, (count desc, pair asc) tie-break, and greedy
+non-overlapping left-to-right merge."""
+
+from collections import Counter
+
+from extraction.bpe import EOW, learn_bpe
+
+
+def _python_bpe(texts, merges):
+    wf = Counter(w for t in texts for w in t.split() if w)
+    toks = {w: tuple(list(w) + [EOW]) for w in wf}
+    out = []
+    for rank in range(1, merges + 1):
+        pc = Counter()
+        for w, syms in toks.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        # max count; ties -> lexicographically smallest (t1, t2)
+        (t1, t2), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, t1, t2, cnt))
+        merged = {}
+        for w, syms in toks.items():
+            res = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == t1 and syms[i + 1] == t2:
+                    res.append(t1 + t2)
+                    i += 2  # greedy non-overlapping left-to-right
+                else:
+                    res.append(syms[i])
+                    i += 1
+            merged[w] = tuple(res)
+        toks = merged
+    return out
+
+
+def _spark_bpe(spark, texts, merges):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in learn_bpe(df, "text", merges=merges)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
+def test_bpe_matches_python_reference(spark):
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new",
+        "low new",
+    ]
+    assert _spark_bpe(spark, texts, 6) == _python_bpe(texts, 6)
+
+
+def test_bpe_overlapping_run_is_greedy(spark):
+    # 'aaaa' with merge (a,a): greedy left-to-right tokenizes to aa|aa,
+    # so round 2 sees pairs {(aa,aa):3, (aa,EOW):3} and the tie-break
+    # picks (aa, EOW) (0x1e sorts before 'aa'). A string-replace merge
+    # (the shared-separator bug this fold replaced) would tokenize to
+    # aa|a|a and pick (a, EOW) instead — this pins the greedy rule.
+    texts = ["aaaa aaaa aaaa b"]
+    got = _spark_bpe(spark, texts, 2)
+    want = _python_bpe(texts, 2)
+    assert got == want
+    assert got[0] == (1, "a", "a", 9)
+    assert got[1] == (2, "aa", EOW, 3)
+
+
+def test_bpe_exhausts_pairs_early(spark):
+    # single 1-char word: only pair is (c, EOW); after merging it no
+    # pairs remain, so the sequence stops at 1 despite merges=5
+    got = _spark_bpe(spark, ["c c c"], 5)
+    assert got == [(1, "c", EOW, 3)]
