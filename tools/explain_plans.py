@@ -987,6 +987,78 @@ def main() -> int:
         },
     )
 
+    # --- skew-join torture: one source = 30% of docs, forced SMJ ---
+    # The EXECUTED adaptive plan must show AQE's skew-split firing
+    # (skew=true / "AQEShuffleRead ... skewed") — this only materializes
+    # at runtime, so this section executes the query, unlike the static
+    # sections above. Thresholds are lowered to make test-scale bytes
+    # qualify; broadcast is disabled because a broadcast join would
+    # (correctly) make the hot key irrelevant — the torture is for the
+    # case where the keeper side has outgrown broadcast. Found along the
+    # way and worth recording: AQE SKIPS the split when the keeper side
+    # is derived from the SAME corpus shuffle (splitting would break the
+    # reused exchange), so the fixture materializes the keeper table
+    # independently — which is also the production shape (verdict /
+    # boilerplate sets are written, then joined back from storage).
+    # 100k generated rows rather than the SF_DIR table: the skew
+    # detector compares COMPRESSED shuffle-partition bytes against the
+    # threshold, so the fixture must carry real byte mass for the hot
+    # partition to register at any sf (sf0.01's 500-doc table compresses
+    # under any sane threshold)
+    skew_docs_path = "/tmp/explain_skew_docs"
+    skew_keep_path = "/tmp/explain_skew_keepers"
+    skewed = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 3, F.lit("hot.example.com")).otherwise(
+            F.concat(F.lit("src"), (F.col("id") % 500).cast("string"))
+        ).alias("source"),
+        F.concat(
+            F.lit("payload-"), F.col("id").cast("string"), F.lit("x" * 200)
+        ).alias("text"),
+    )
+    skewed.write.mode("overwrite").parquet(skew_docs_path)
+    sk = spark.read.parquet(skew_docs_path)
+    sk.select("source").distinct().withColumn(
+        "keep", F.lit(1)
+    ).write.mode("overwrite").parquet(skew_keep_path)
+    keepers = spark.read.parquet(skew_keep_path)
+    prev_conf = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        tq = sk.join(keepers, "source").select(
+            F.sum(F.length("text")).alias("tot")
+        )
+        tq.collect()  # skew decisions exist only in the executed plan
+        ptq = tq._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev_conf.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    check(
+        "skew-join torture (hot source = 30% of docs, forced SMJ)",
+        ptq,
+        {
+            "AQE split the skewed partition (skew=true)": "skew=true" in ptq,
+            "skewed AQEShuffleRead present": "skewed" in ptq,
+            "sort-merge join (broadcast disabled for the torture)":
+                "SortMergeJoin" in ptq,
+            "no cartesian": "CartesianProduct" not in ptq,
+        },
+    )
+
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
         f.write(
