@@ -2850,6 +2850,29 @@ def q_text_bpe_vocab(spark, sf_dir):
     return learn_bpe(d, "text", merges=8)
 
 
+def q_text_bpe_apply(spark, sf_dir):
+    """Apply the learned BPE vocabulary: per-doc token counts under the
+    text_bpe_vocab tokenizer — the count t8_pack_sequences and length
+    budgets actually need once a vocab exists (whitespace counts are
+    the proxy before training). Work is word-TYPE factored like
+    training: corpus touched once for per-(doc, word) multiplicities,
+    the 8-merge fold chain runs over the distinct-word table only, and
+    counts join back on the word key (AQE-sized, no forced broadcast).
+    Token count includes the EOW symbol, merged or standalone — the
+    sequence length a model consuming explicit EOW tokens sees. See
+    bpe.apply_bpe_token_counts."""
+    from extraction.bpe import apply_bpe_token_counts, learn_bpe
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in learn_bpe(d, "text", merges=8).orderBy("merge_rank").collect()
+    ]
+    return apply_bpe_token_counts(d, "text", "doc_id", merges).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_tokens_bpe"
+    )
+
+
 def q_graph_pagerank_conserve(spark, sf_dir):
     """Mass-conserving PageRank: Σ pr_rank == n_domains·10^6 EXACTLY
     after every iteration (the oracle hash pins it). Un-delivered mass
@@ -2965,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "t12_split_leakage": q_t12_split_leakage,
         # --- past the driver's 50-row budget: remaining families ---
+        "text_bpe_apply": q_text_bpe_apply,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_simhash": q_text_simhash,

@@ -141,3 +141,54 @@ def learn_bpe(docs: DataFrame, text_col: str, merges: int = 8) -> DataFrame:
         out,
         "merge_rank long, left_sym string, right_sym string, pair_count long",
     )
+
+
+def apply_bpe_token_counts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize the corpus with a LEARNED merge sequence and return the
+    per-doc BPE token count — the companion of learn_bpe (a pipeline
+    trains the vocab once, then every downstream packer/oov/length
+    budget consumes counts under THAT tokenizer, not the whitespace
+    proxy).
+
+    The merge list is the model artifact (k pairs, driver-side
+    literals). Work is word-TYPE factored, the same trick as training:
+    the corpus is touched once (per-(doc, word) multiplicities — one
+    map-side-combined shuffle); the k-fold merge chain runs over the
+    DISTINCT-word table only; token counts join back on the word key
+    (AQE sizes the join — the vocab side is model-ish but unbounded, so
+    no forced broadcast). Token count = symbol count of the final
+    tokenization INCLUDING the end-of-word symbol (merged or standalone
+    — the sequence length a model consuming explicit EOW tokens sees).
+
+    Returns (id_col, n_tokens_bpe), one row per doc that has >= 1 word.
+    """
+    from extraction.textops import words
+
+    dw = (
+        docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    tok = initial_tok(F.col("word"))
+    for t1, t2 in merges:
+        tok = merge_pair(tok, t1, t2)
+    wtok = (
+        dw.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(F.filter(F.split(tok, SEP), lambda x: x != ""))
+            .cast("long")
+            .alias("nt"),
+        )
+    )
+    return (
+        dw.join(wtok, "word")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("m") * F.col("nt")).cast("long").alias("n_tokens_bpe"))
+    )

@@ -2758,7 +2758,9 @@ def _bpe_iter(i: int) -> str:
 
 _BPE_MERGES = 8
 
-ORACLES["text_bpe_vocab"] = (
+# shared WITH-chain prefix: word-type table, char+EOW tokenization, and
+# the 8 generated merge iterations (w8 = final per-word tokenization)
+_BPE_CHAIN = (
     r"""
 WITH wf AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -2774,10 +2776,41 @@ WITH wf AS MATERIALIZED (
 ),
 """
     + ",\n".join(_bpe_iter(i) for i in range(1, _BPE_MERGES + 1))
+)
+
+ORACLES["text_bpe_vocab"] = (
+    _BPE_CHAIN
     + "\n"
     + "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_rank, t1 AS left_sym,"
         f" t2 AS right_sym, cnt AS pair_count FROM b{i}"
         for i in range(1, _BPE_MERGES + 1)
     )
+)
+
+# BPE apply (mirror of q_text_bpe_apply / bpe.apply_bpe_token_counts):
+# the chain re-learns the identical merge sequence, then the final
+# per-word tokenization joins back to per-(doc, word) multiplicities.
+# Token count includes the EOW symbol (merged or standalone), same
+# convention both engines.
+ORACLES["text_bpe_apply"] = (
+    _BPE_CHAIN
+    + f"""
+, wtok AS MATERIALIZED (
+  SELECT word,
+         CAST(len(list_filter(string_split(tok, chr(31)), x -> x <> ''))
+              AS BIGINT) AS nt
+  FROM w{_BPE_MERGES}
+), dw AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS m FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(m * nt) AS BIGINT) AS n_tokens_bpe
+FROM dw JOIN wtok USING (word) GROUP BY 1
+"""
 )

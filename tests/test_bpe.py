@@ -79,3 +79,56 @@ def test_bpe_exhausts_pairs_early(spark):
     # pairs remain, so the sequence stops at 1 despite merges=5
     got = _spark_bpe(spark, ["c c c"], 5)
     assert got == [(1, "c", EOW, 3)]
+
+
+def _python_apply_counts(texts, merges):
+    # tokenize each word with the merge sequence (greedy per merge, in
+    # rank order), count symbols incl. EOW, weighted by occurrences
+    def tokenize(word):
+        syms = list(word) + [EOW]
+        for _, t1, t2, _ in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == t1 and syms[i + 1] == t2:
+                    res.append(t1 + t2)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    out = {}
+    for doc_id, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        if ws:
+            out[doc_id] = sum(tokenize(w) for w in ws)
+    return out
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    from extraction.bpe import apply_bpe_token_counts, learn_bpe
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new",
+        "low new aaaa",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges_rows = learn_bpe(df, "text", merges=6).orderBy("merge_rank").collect()
+    merges = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_count) for r in merges_rows]
+    got = {
+        r.doc_id: r.n_tokens_bpe
+        for r in apply_bpe_token_counts(
+            df, "text", "doc_id", [(t1, t2) for _, t1, t2, _ in merges]
+        ).collect()
+    }
+    assert got == _python_apply_counts(texts, merges)
+    # the empty doc has no words and no row; merged docs shrink below
+    # their char+EOW count
+    assert 3 not in got
+    raw = sum(len(w) + 1 for w in texts[0].split())
+    assert got[0] < raw
