@@ -570,7 +570,14 @@ def quantile_sketch_estimate(hist, pcts: list[int]):
         "cum_before", F.col("cum") - F.col("cnt")
     )
     counts = hist.groupBy("grp").agg(F.sum("cnt").alias("n"))
-    pdf = hist.sparkSession.createDataFrame([(p,) for p in pcts], "pct long")
+    # exploded array literal, not createDataFrame: the latter plants an
+    # applySchemaToPythonRDD scan in the plan (a Python node the plan
+    # audit would flag), this stays wholly JVM-side
+    pdf = hist.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(p)).cast("long") for p in pcts])).alias(
+            "pct"
+        )
+    )
     targets = counts.crossJoin(F.broadcast(pdf)).select(
         "grp",
         "pct",

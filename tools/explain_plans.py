@@ -987,6 +987,58 @@ def main() -> int:
         },
     )
 
+    # quantile sketch: the whole point is NO corpus-sized sort — the
+    # histogram state is a map-side-combinable agg; the rank window
+    # runs over the ~520-bucket state partitioned by lang (never
+    # SinglePartition); everything stays JVM-side integer ops
+    qsk = entry.q_text_length_quantiles_sketch(spark, SF_DIR)
+    pqsk = plan_of(qsk)
+    check(
+        "quantile sketch (bounded histogram state, no corpus sort)",
+        pqsk,
+        {
+            "no SinglePartition exchange": "SinglePartition" not in pqsk,
+            "map-side partial agg": "partial_count" in pqsk,
+            "no Python in the hot path": "Python" not in pqsk,
+            "no cartesian on the data path": "CartesianProduct" not in pqsk,
+        },
+    )
+
+    # BPE apply: corpus touched once (per-(doc, word) multiplicities);
+    # the merge fold chain is a narrow projection over the distinct-word
+    # table; the count join-back must NOT be a cartesian and the per-doc
+    # sum must combine map-side. (learn_bpe's 8 training rounds run at
+    # plan-build time — the collects are the model artifact, k rows.)
+    bpa = entry.q_text_bpe_apply(spark, SF_DIR)
+    pbpa = plan_of(bpa)
+    check(
+        "bpe apply (word-type-factored fold, AQE-sized join back)",
+        pbpa,
+        {
+            "no cartesian": "CartesianProduct" not in pbpa,
+            "map-side partial agg": "partial_sum" in pbpa,
+            "no Python in the hot path": "Python" not in pbpa,
+        },
+    )
+
+    # conserving pagerank: same equi-join/broadcast shape as plain
+    # pagerank; the two per-iteration apportionment windows are
+    # DELIBERATELY global (domain-sized data — documented in the
+    # docstring), so the check here is the join discipline, not
+    # SinglePartition absence
+    prc = entry.q_graph_pagerank_conserve(spark, SF_DIR)
+    pprc = plan_of(prc)
+    check(
+        "pagerank conserving (equi-joins + broadcast scalars)",
+        pprc,
+        {
+            "no cartesian": "CartesianProduct" not in pprc,
+            "domain-sized joins broadcast": "BroadcastHashJoin" in pprc,
+            "map-side partial agg": "partial_sum" in pprc,
+            "no Python in the hot path": "Python" not in pprc,
+        },
+    )
+
     # --- skew-join torture: one source = 30% of docs, forced SMJ ---
     # The EXECUTED adaptive plan must show AQE's skew-split firing
     # (skew=true / "AQEShuffleRead ... skewed") — this only materializes
