@@ -185,21 +185,28 @@ def pagerank_conserving(
 
     Scale shape: identical to ``pagerank`` (corpus touched once for
     edge derivation; per-iteration work is domain-cardinality) plus,
-    per iteration, two scalar aggs and two GLOBAL row_number windows
-    over the node table. Those windows are single-partition sorts of
-    domain-sized data — fine to ~10^7 domains; past that, swap the
-    apportionment ranks for the two-phase distributed rank
-    (packing.pack_sequences' bucket-prefix discipline).
+    per iteration, two scalar reductions and two GLOBAL row_number
+    windows over the node table. Those windows are single-partition
+    sorts of domain-sized data — fine to ~10^7 domains; past that, swap
+    the apportionment ranks for the two-phase distributed rank
+    (packing.pack_sequences' bucket-prefix discipline). The loss and
+    deficit scalars COLLECT to the driver (model-sized, like the BPE
+    argmax and k-means centroid rows) and re-enter as literals; the
+    first-cut broadcast-crossJoin form kept them in one lazy plan,
+    whose 3-iteration nesting cost 5.6 s vs 1.75 s at sf0.1 — the
+    per-iteration localCheckpoints keep each round's plan flat.
 
     Requires scale % 100 == 0.
     """
     assert scale % 100 == 0, "Hamilton damping needs scale divisible by 100"
     from pyspark.sql import Window
 
-    edges = crawl_edges(docs, id_col, src_col).localCheckpoint(eager=False)
-    outw = edges.groupBy("src").agg(F.sum("m").cast("long").alias("out_w"))
+    edges = crawl_edges(docs, id_col, src_col).localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(
+        F.sum("m").cast("long").alias("out_w")
+    ).localCheckpoint(eager=True)
     nodes = docs.select(F.col(src_col).alias("node")).distinct().localCheckpoint(
-        eager=False
+        eager=True
     )
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
     n_nodes = nodes.count()  # model-sized scalar (domain cardinality)
@@ -216,17 +223,20 @@ def pagerank_conserving(
         )
         sv = nodes.join(
             contrib.withColumnRenamed("dst", "node"), "node", "left"
-        ).select("node", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s"))
-        # un-delivered mass: one scalar, broadcast back as a 1-row join
-        loss = sv.agg((F.lit(total) - F.sum("s")).cast("long").alias("loss"))
-        xv = sv.crossJoin(F.broadcast(loss)).select(
+        ).select(
+            "node", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s")
+        ).localCheckpoint(eager=True)
+        # un-delivered mass: one driver scalar off the checkpointed state
+        loss = sv.agg(
+            (F.lit(total) - F.sum("s")).cast("long").alias("loss")
+        ).collect()[0]["loss"]
+        xv = sv.select(
             "node",
             (
                 F.col("s")
-                + F.expr(f"loss div {n_nodes}")
+                + F.lit(loss // n_nodes)
                 + F.when(
-                    F.row_number().over(w_node) <= F.expr(f"loss % {n_nodes}"),
-                    1,
+                    F.row_number().over(w_node) <= F.lit(loss % n_nodes), 1
                 ).otherwise(0)
             ).cast("long").alias("x"),
         )
@@ -234,17 +244,17 @@ def pagerank_conserving(
             "node",
             F.expr(f"({PR_DAMP_NUM} * x) div {PR_DAMP_DEN}").alias("d"),
             F.expr(f"({PR_DAMP_NUM} * x) % {PR_DAMP_DEN}").alias("rem"),
-        )
-        deficit = dv.agg(
+        ).localCheckpoint(eager=True)
+        r_def = dv.agg(
             F.expr(f"sum(rem) div {PR_DAMP_DEN}").cast("long").alias("r_def")
-        )
+        ).collect()[0]["r_def"]
         w_rem = Window.orderBy(F.desc("rem"), F.asc("node"))
-        ranks = dv.crossJoin(F.broadcast(deficit)).select(
+        ranks = dv.select(
             "node",
             (
                 F.lit(base).cast("long")
                 + F.col("d")
-                + F.when(F.row_number().over(w_rem) <= F.col("r_def"), 1)
+                + F.when(F.row_number().over(w_rem) <= F.lit(r_def), 1)
                 .otherwise(0)
             ).cast("long").alias("rank"),
         )
