@@ -2850,6 +2850,27 @@ def q_text_bpe_vocab(spark, sf_dir):
     return learn_bpe(d, "text", merges=8)
 
 
+def q_text_cms_sketch(spark, sf_dir):
+    """Count-Min frequency sketch over corpus tokens — the frequency
+    member of the mergeable-sketch triad (corpus_hll_registers =
+    distinct, text_length_quantiles_sketch = quantiles, this =
+    term frequency): a 4x64 counter matrix with deterministic md5
+    row salts, so the state is <= 256 rows REGARDLESS of corpus size,
+    map-side combines, and merges across shards/days by elementwise
+    addition (merge law + the one-sided overcount guarantee pinned in
+    tests/test_cms_sketch.py). The exact top-ngrams operator stays the
+    oracle at test scale — the same exact-vs-scale split as HLL and the
+    HDR histogram. See textops.cms_sketch."""
+    from extraction.textops import cms_sketch, words
+
+    d = _par(spark, _t(spark, sf_dir, "documents")).select(
+        F.explode(words(F.col("text"))).alias("w")
+    )
+    return cms_sketch(d, "w").select(
+        F.col("row").alias("sketch_row"), "bucket", "cnt"
+    )
+
+
 def q_text_bpe_apply(spark, sf_dir):
     """Apply the learned BPE vocabulary: per-doc token counts under the
     text_bpe_vocab tokenizer — the count t8_pack_sequences and length
@@ -2989,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_split_leakage": q_t12_split_leakage,
         # --- past the driver's 50-row budget: remaining families ---
         "text_bpe_apply": q_text_bpe_apply,
+        "text_cms_sketch": q_text_cms_sketch,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_simhash": q_text_simhash,

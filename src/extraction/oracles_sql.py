@@ -2814,3 +2814,25 @@ SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
 FROM dw JOIN wtok USING (word) GROUP BY 1
 """
 )
+
+
+# Count-Min sketch (mirror of q_text_cms_sketch / textops.cms_sketch):
+# 4 md5-row-salted 60-bit fingerprints mod 64 over whitespace tokens;
+# the d x w counter matrix groups to <= 256 rows. Same fingerprint64
+# convention as the HLL oracle.
+ORACLES["text_cms_sketch"] = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), cells AS (
+  SELECT r.i AS sketch_row,
+         CAST(concat('0x', substr(md5('cms' || r.i || ':' || w), 1, 15))
+              AS BIGINT) % 64 AS bucket
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r
+)
+SELECT CAST(sketch_row AS BIGINT) AS sketch_row,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2
+"""

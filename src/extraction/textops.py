@@ -594,3 +594,40 @@ def quantile_sketch_estimate(hist, pcts: list[int]):
         )
         .select("grp", "pct", F.col("lo").alias("est"))
     )
+
+
+def cms_cells(col: Column, d: int = 4, w: int = 64) -> Column:
+    """Count-Min Sketch cell coordinates for one item: an array of d
+    structs (row, bucket) with bucket = 60-bit md5 fingerprint of the
+    row-salted item, mod w. The frequency member of the classic
+    mergeable-sketch triad (HLL = distinct, HDR histogram = quantiles,
+    CMS = frequency): the d x w counter matrix is an algebraic agg —
+    map-side combines to <= d·w rows per task, shards/days merge by
+    elementwise ADDITION, and the point estimate min_i cell[i][h_i(x)]
+    over-counts only (est >= true always, est <= true + eps·N w.h.p.
+    with eps = e/w). Deterministic md5 row salts, so both engines and
+    any partitioning produce the identical matrix.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("row"),
+                (fingerprint64(F.concat(F.lit(f"cms{i}:"), col)) % F.lit(w))
+                .cast("long")
+                .alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def cms_sketch(df, item_col: str, d: int = 4, w: int = 64):
+    """(row, bucket, cnt) CMS counter matrix over an item column —
+    <= d·w rows total regardless of corpus size; the only shuffle is a
+    d·w-key agg that collapses map-side. Merge law and the one-sided
+    overcount guarantee are pinned by tests/test_cms_sketch.py."""
+    return (
+        df.select(F.explode(cms_cells(F.col(item_col), d, w)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
