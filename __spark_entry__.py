@@ -2850,6 +2850,84 @@ def q_text_bpe_vocab(spark, sf_dir):
     return learn_bpe(d, "text", merges=8)
 
 
+def q_corpus_recipe(spark, sf_dir):
+    """The COMPOSED corpus-prep recipe — exact dedup, near-dup dedup,
+    benchmark decontamination, and quality screening in one DAG, with
+    per-lang per-stage drop attribution (the Dolma/C4-style dataset
+    card a release publishes). Every stage reuses the standalone
+    operator verbatim: exact = min-doc_id-per-fingerprint, near-dup =
+    the lsh_verified → connected-components drop set, contamination =
+    the 3-shingle benchmark overlap (eval slice doc_id % 20 == 7),
+    quality = quality_score < 30. Attribution is FIRST-DROPPING-STAGE
+    in the order held_out → exact → neardup → contaminated → low_quality
+    (each stage's drop set is computed on the full corpus — the
+    independent-stages shape real pipelines run — and precedence
+    resolves docs multiple stages would kill). Scale shape: drop sets
+    are permille-sized joins (AQE broadcasts), the fingerprint window
+    partitions by fp (no global sort), and the final per-lang agg is a
+    handful of map-side-combined conditional sums."""
+    from extraction.dedup import (
+        decontaminate_hits,
+        lsh_verified_pairs,
+        neardup_components,
+    )
+    from extraction.textops import fingerprint, quality_score, token_count_ws
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    pairs = lsh_verified_pairs(
+        d, "text", "doc_id", k=3, perms=16, bands=4,
+        threshold_num=1, threshold_den=2,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    nd_drops = (
+        neardup_components(pairs)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"), F.lit(1).alias("nd"))
+    )
+    bench = d.filter(F.col("doc_id") % 20 == 7)
+    cont = decontaminate_hits(d, bench, "text", "doc_id", k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.lit(1).alias("ct")
+    )
+    w_fp = Window.partitionBy("fp")
+    flagged = (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            fingerprint(F.col("text")).alias("fp"),
+            quality_score(F.col("text")).alias("q"),
+            token_count_ws(F.col("text")).alias("nt"),
+        )
+        .withColumn("fp_min", F.min("doc_id").over(w_fp))
+        .join(nd_drops, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+    )
+    stage = (
+        F.when(F.col("doc_id") % 20 == 7, F.lit("held_out"))
+        .when(F.col("doc_id") != F.col("fp_min"), F.lit("exact"))
+        .when(F.col("nd") == 1, F.lit("neardup"))
+        .when(F.col("ct") == 1, F.lit("contaminated"))
+        .when(F.col("q") < 30, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    staged = flagged.withColumn("stage", stage)
+    agg = [
+        F.sum(F.when(F.col("stage") == s, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{s}")
+        for s in ("held_out", "exact", "neardup", "contaminated",
+                  "low_quality", "kept")
+    ]
+    return staged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_in"),
+        *agg,
+        F.sum(F.when(F.col("stage") == "kept", F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
 def q_text_cms_sketch(spark, sf_dir):
     """Count-Min frequency sketch over corpus tokens — the frequency
     member of the mergeable-sketch triad (corpus_hll_registers =
@@ -3011,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-row budget: remaining families ---
         "text_bpe_apply": q_text_bpe_apply,
         "text_cms_sketch": q_text_cms_sketch,
+        "corpus_recipe": q_corpus_recipe,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_simhash": q_text_simhash,

@@ -2836,3 +2836,54 @@ SELECT CAST(sketch_row AS BIGINT) AS sketch_row,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM cells GROUP BY 1, 2
 """
+
+
+# Composed corpus-prep recipe (mirror of q_corpus_recipe): exact dedup,
+# near-dup drop set (the _CC_CTES lsh_verified -> connected-components
+# chain, reused verbatim), 3-shingle benchmark decontamination (reusing
+# the chain's own `sh` shingle CTE), and the quality screen — with
+# FIRST-DROPPING-STAGE attribution per lang. Stage drop sets are
+# computed on the full corpus (independent-stages shape); precedence
+# resolves docs multiple stages would kill. The eval slice itself is
+# held_out first, so its self-overlap never reaches `contaminated` on
+# either engine.
+ORACLES["corpus_recipe"] = f"""
+{_CC_CTES},
+nd AS (
+  SELECT id FROM reach GROUP BY id HAVING MIN(comp) <> id
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 7
+), cont AS (
+  SELECT DISTINCT t.doc_id FROM (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 <> 7
+  ) t JOIN bench b ON t.shingle = b.shingle
+), base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp,
+         {_QUALITY_EXPR} AS q,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents
+), withmin AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS fp_min FROM base
+), staged AS (
+  SELECT lang, nt,
+    CASE WHEN doc_id % 20 = 7 THEN 'held_out'
+         WHEN doc_id <> fp_min THEN 'exact'
+         WHEN doc_id IN (SELECT id FROM nd) THEN 'neardup'
+         WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+         WHEN q < 30 THEN 'low_quality'
+         ELSE 'kept' END AS stage
+  FROM withmin
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_in,
+  CAST(SUM(CASE WHEN stage = 'held_out' THEN 1 ELSE 0 END) AS BIGINT) AS n_held_out,
+  CAST(SUM(CASE WHEN stage = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+  CAST(SUM(CASE WHEN stage = 'neardup' THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+  CAST(SUM(CASE WHEN stage = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+  CAST(SUM(CASE WHEN stage = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN stage = 'kept' THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM staged GROUP BY lang
+"""
