@@ -2850,6 +2850,54 @@ def q_text_bpe_vocab(spark, sf_dir):
     return learn_bpe(d, "text", merges=8)
 
 
+def q_dedup_keeper_policy(spark, sf_dir):
+    """Quality-aware keeper selection for near-dup clusters — the
+    policy knob real pipelines turn (C4 keeps the longest member,
+    SemDeDup the highest-quality): per connected component, the keeper
+    is the member with the HIGHEST quality_score, ties to the lowest
+    doc_id, instead of dedup_clean_corpus's min-id rule. Returns one
+    row per multi-member component (component, keeper_id, keeper_q,
+    n_members). Scale shape: components are permille-of-corpus; the
+    quality join is a narrow id lookup and the argmax is a window over
+    component groups (cluster-sized partitions, never global)."""
+    from extraction.dedup import lsh_verified_pairs, neardup_components
+    from extraction.textops import quality_score
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    pairs = lsh_verified_pairs(
+        d, "text", "doc_id", k=3, perms=16, bands=4,
+        threshold_num=1, threshold_den=2,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    comp = neardup_components(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+    q = d.select(
+        F.col("doc_id").cast("long").alias("id"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    j = comp.join(q, "id")
+    w = Window.partitionBy("component").orderBy(F.desc("q"), F.asc("id"))
+    keep = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("id").alias("keeper_id"),
+            F.col("q").alias("keeper_q"),
+        )
+    )
+    counts = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return keep.join(counts, "component").select(
+        "component", "keeper_id", "keeper_q", "n_members"
+    )
+
+
 def q_corpus_recipe(spark, sf_dir):
     """The COMPOSED corpus-prep recipe — exact dedup, near-dup dedup,
     benchmark decontamination, and quality screening in one DAG, with
@@ -3090,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_apply": q_text_bpe_apply,
         "text_cms_sketch": q_text_cms_sketch,
         "corpus_recipe": q_corpus_recipe,
+        "dedup_keeper_policy": q_dedup_keeper_policy,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_simhash": q_text_simhash,

@@ -2887,3 +2887,29 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_in,
   CAST(SUM(CASE WHEN stage = 'kept' THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept
 FROM staged GROUP BY lang
 """
+
+
+# Quality-aware keeper policy (mirror of q_dedup_keeper_policy): per
+# near-dup component, keeper = highest quality_score, ties to lowest
+# id; one row per multi-or-single-member component present in the pair
+# graph. Reuses the _CC_CTES chain verbatim.
+ORACLES["dedup_keeper_policy"] = f"""
+{_CC_CTES},
+comp AS (
+  SELECT CAST(id AS BIGINT) AS id, CAST(MIN(comp) AS BIGINT) AS component
+  FROM reach GROUP BY id
+), q AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, {_QUALITY_EXPR} AS q FROM documents
+), ranked AS (
+  SELECT c.component, c.id, q.q,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.q DESC, c.id ASC) AS rn
+  FROM comp c JOIN q USING (id)
+), counts AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY component
+)
+SELECT r.component, r.id AS keeper_id, r.q AS keeper_q, c.n_members
+FROM ranked r JOIN counts c USING (component)
+WHERE r.rn = 1
+"""

@@ -1041,6 +1041,22 @@ def main() -> int:
         },
     )
 
+    # composed corpus recipe: four stages in one DAG — the drop-set
+    # joins must never go cartesian, the per-lang attribution must
+    # combine map-side, and the whole DAG stays JVM-side
+    rcp = entry.q_corpus_recipe(spark, SF_DIR)
+    prcp = plan_of(rcp)
+    check(
+        "corpus recipe (composed stages, broadcast drop sets)",
+        prcp,
+        {
+            "no cartesian": "CartesianProduct" not in prcp,
+            "broadcast join present": "BroadcastHashJoin" in prcp,
+            "map-side partial agg": "partial_sum" in prcp or "partial_count" in prcp,
+            "no Python in the hot path": "Python" not in prcp,
+        },
+    )
+
     # --- skew-join torture: one source = 30% of docs, forced SMJ ---
     # The EXECUTED adaptive plan must show AQE's skew-split firing
     # (skew=true / "AQEShuffleRead ... skewed") — this only materializes
