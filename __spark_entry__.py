@@ -2850,6 +2850,62 @@ def q_text_bpe_vocab(spark, sf_dir):
     return learn_bpe(d, "text", merges=8)
 
 
+def q_t13_rank_weighted_sample(spark, sf_dir):
+    """Authority-weighted corpus sampling: the data-mixture sampler
+    (t7's exact-decimal Poisson-PPS shape) with its weights coming FROM
+    the crawl graph — each source's token share targets
+    pr_rank_s / Σ pr_rank, using the MASS-CONSERVING PageRank so the
+    denominator is exact (Σ pr_rank == n_sources·10^6 by construction;
+    plain graph_pagerank's dropped mass would silently deflate every
+    weight — the bias pagerank_conserving exists to prevent, now
+    load-bearing). Selection is the same portable integer predicate as
+    t3/t7:  u·T_s·Σrank < B·pr_rank_s·2^32  in decimal(38,0)/HUGEINT,
+    u = first-8-hex md5(doc_id‖'rank'). Plan shape: the rank table is
+    domain-sized and broadcast; one per-source token-mass agg; then a
+    NARROW filter and a per-source conditional agg — no global sort, no
+    window on the corpus."""
+    from extraction.graph import pagerank_conserving
+    from extraction.textops import token_count_ws
+
+    budget, two32 = 2000, 4294967296
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    pr = pagerank_conserving(d, "doc_id", "source").select(
+        "source", "pr_rank"
+    )
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        token_count_ws(F.col("text")).alias("nt"),
+    )
+    ts = base.groupBy("source").agg(F.sum("nt").cast("long").alias("t_s"))
+    total = pr.agg(F.sum("pr_rank").cast("long").alias("tr"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("rank"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    sel = (
+        base.join(F.broadcast(ts), "source")
+        .join(F.broadcast(pr), "source")
+        .crossJoin(F.broadcast(total))
+        .filter(
+            dec(u) * dec(F.col("t_s")) * dec(F.col("tr"))
+            < dec(F.lit(budget)) * dec(F.col("pr_rank")) * dec(F.lit(two32))
+        )
+    )
+    return sel.groupBy("source").agg(
+        F.max("pr_rank").cast("long").alias("pr_rank"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("tokens_sampled"),
+    )
+
+
 def q_dedup_keeper_policy(spark, sf_dir):
     """Quality-aware keeper selection for near-dup clusters — the
     policy knob real pipelines turn (C4 keeps the longest member,
@@ -3139,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_sketch": q_text_cms_sketch,
         "corpus_recipe": q_corpus_recipe,
         "dedup_keeper_policy": q_dedup_keeper_policy,
+        "t13_rank_weighted_sample": q_t13_rank_weighted_sample,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_simhash": q_text_simhash,

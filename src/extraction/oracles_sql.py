@@ -2595,25 +2595,30 @@ FROM r3 LEFT JOIN outw o ON r3.node = o.src
 
 
 def _pr_conserve_iter(i: int) -> str:
+    # MATERIALIZED throughout: s{i}/d{i}/r{i} are each referenced more
+    # than once (scalar subqueries + the next round), and DuckDB's
+    # default inlining re-expands the whole chain per reference —
+    # measured minutes for a 20-node domain before the fix (the same
+    # exponential-CTE disease the BPE oracle hit)
     p = i - 1
-    return f"""c{i} AS (
+    return f"""c{i} AS MATERIALIZED (
   SELECT e.dst AS node, SUM((r.r * e.m) // o.out_w) AS s
   FROM edges e JOIN outw o USING (src) JOIN r{p} r ON e.src = r.node
   GROUP BY 1
-), s{i} AS (
+), s{i} AS MATERIALIZED (
   SELECT n.node, CAST(COALESCE(c.s, 0) AS BIGINT) AS s
   FROM nodes n LEFT JOIN c{i} c USING (node)
-), l{i} AS (
+), l{i} AS MATERIALIZED (
   SELECT (SELECT total FROM tot2) - SUM(s) AS loss FROM s{i}
-), x{i} AS (
+), x{i} AS MATERIALIZED (
   SELECT node, s + (SELECT loss FROM l{i}) // (SELECT nn FROM tot2)
        + CASE WHEN row_number() OVER (ORDER BY node)
               <= (SELECT loss FROM l{i}) % (SELECT nn FROM tot2)
          THEN 1 ELSE 0 END AS x
   FROM s{i}
-), d{i} AS (
+), d{i} AS MATERIALIZED (
   SELECT node, (85 * x) // 100 AS d, (85 * x) % 100 AS rem FROM x{i}
-), r{i} AS (
+), r{i} AS MATERIALIZED (
   SELECT node, CAST(150000 + d + CASE WHEN
            row_number() OVER (ORDER BY rem DESC, node)
            <= (SELECT SUM(rem) FROM d{i}) // 100
@@ -2632,15 +2637,15 @@ targets AS (
   UNION ALL
   SELECT source AS src, (doc_id * 13 + 5) % (SELECT n FROM tot) AS t
   FROM documents WHERE doc_id % 7 = 0
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT tg.src, d.source AS dst, CAST(COUNT(*) AS BIGINT) AS m
   FROM targets tg JOIN documents d ON tg.t = d.doc_id
   WHERE tg.src <> d.source
   GROUP BY 1, 2
-), outw AS (
+), outw AS MATERIALIZED (
   SELECT src, CAST(SUM(m) AS BIGINT) AS out_w FROM edges GROUP BY 1
-), nodes AS (SELECT DISTINCT source AS node FROM documents),
-tot2 AS (
+), nodes AS MATERIALIZED (SELECT DISTINCT source AS node FROM documents),
+tot2 AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS nn,
          CAST(COUNT(*) * 1000000 AS BIGINT) AS total
   FROM nodes
@@ -2912,4 +2917,37 @@ comp AS (
 SELECT r.component, r.id AS keeper_id, r.q AS keeper_q, c.n_members
 FROM ranked r JOIN counts c USING (component)
 WHERE r.rn = 1
+"""
+
+
+# Authority-weighted sampling (mirror of q_t13_rank_weighted_sample):
+# the conserving-PageRank oracle nested verbatim as a CTE (the same
+# lockstep trick as t12's nested lsh_verified), its EXACT rank total as
+# the weight denominator, and t7's portable integer PPS predicate in
+# HUGEINT. Budget 2000 tokens, salt 'rank'.
+ORACLES["t13_rank_weighted_sample"] = f"""
+WITH pr AS MATERIALIZED (
+{ORACLES["graph_pagerank_conserve"]}
+), tr AS (
+  SELECT CAST(SUM(pr_rank) AS BIGINT) AS total FROM pr
+), base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents
+), ts AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) AS t_s FROM base GROUP BY 1
+), sel AS (
+  SELECT b.source, p.pr_rank, b.nt
+  FROM base b JOIN ts USING (source) JOIN pr p ON p.source = b.source
+  WHERE CAST(CAST(concat('0x', substr(md5(CAST(b.doc_id AS VARCHAR) || 'rank'),
+                         1, 8)) AS BIGINT) AS HUGEINT)
+        * ts.t_s * (SELECT total FROM tr)
+      < CAST(2000 AS HUGEINT) * p.pr_rank * 4294967296
+)
+SELECT source,
+       CAST(MAX(pr_rank) AS BIGINT) AS pr_rank,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS tokens_sampled
+FROM sel GROUP BY source
 """
