@@ -2991,9 +2991,12 @@ def q_corpus_recipe(spark, sf_dir):
         .select(F.col("id").alias("doc_id"), F.lit(1).alias("nd"))
     )
     bench = d.filter(F.col("doc_id") % 20 == 7)
-    cont = decontaminate_hits(d, bench, "text", "doc_id", k=3).select(
-        F.col("doc_id").cast("long").alias("doc_id"), F.lit(1).alias("ct")
-    )
+    # train side excludes the eval slice (its self-overlap is 100% and
+    # the held_out stage would mask it anyway — excluding it here both
+    # matches the oracle's train CTE exactly and skips the wasted join)
+    cont = decontaminate_hits(
+        d.filter(F.col("doc_id") % 20 != 7), bench, "text", "doc_id", k=3
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), F.lit(1).alias("ct"))
     w_fp = Window.partitionBy("fp")
     flagged = (
         d.select(
