@@ -292,6 +292,7 @@ def main() -> int:
         for name in (
             "scaling_1m_pinned_r4.json",
             "scaling_1m_pinned_r4b.json",
+            "scaling_1m_pinned_r4c.json",
             "scaling_1m_pinned_packedfix.json",
             "scaling_1m_pinned_r3e.json",
             "scaling_1m_pinned_r3h.json",
