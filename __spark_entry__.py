@@ -3035,6 +3035,62 @@ def q_corpus_recipe(spark, sf_dir):
     )
 
 
+def q_text_bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer FERTILITY under the learned BPE vocab —
+    subword tokens per word, ×1000 integer-scaled — plus chars-per-
+    token compression. The multilingual-fairness report a tokenizer
+    release publishes (a vocab trained on a skewed mix inflates
+    fertility for the under-represented languages, which inflates their
+    effective sequence length and training cost). Same word-type
+    factoring as text_bpe_apply: the 8-merge fold runs over distinct
+    words only; per-(lang, word) multiplicities weight the roll-up.
+    fertility_milli = Σ tokens·1000 div Σ words; chars_per_token_milli
+    = Σ chars·1000 div Σ tokens (EOW counts as a token, its char
+    contribution is zero — both engines share the convention)."""
+    from extraction.bpe import apply_bpe_token_counts, learn_bpe  # noqa: F401
+    from extraction.bpe import SEP, initial_tok, merge_pair
+    from extraction.textops import words
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in learn_bpe(d, "text", merges=8).orderBy("merge_rank").collect()
+    ]
+    dw = (
+        d.select("lang", F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    tok = initial_tok(F.col("word"))
+    for t1, t2 in merges:
+        tok = merge_pair(tok, t1, t2)
+    wtok = (
+        dw.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(F.filter(F.split(tok, SEP), lambda x: x != ""))
+            .cast("long")
+            .alias("nt"),
+            F.length("word").cast("long").alias("nc"),
+        )
+    )
+    return (
+        dw.join(wtok, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("m").cast("long").alias("n_words"),
+            F.sum(F.col("m") * F.col("nt")).cast("long").alias("n_bpe_tokens"),
+            F.expr("sum(m * nt) * 1000 div sum(m)")
+            .cast("long")
+            .alias("fertility_milli"),
+            F.expr("sum(m * nc) * 1000 div sum(m * nt)")
+            .cast("long")
+            .alias("chars_per_token_milli"),
+        )
+    )
+
+
 def q_text_cms_sketch(spark, sf_dir):
     """Count-Min frequency sketch over corpus tokens — the frequency
     member of the mergeable-sketch triad (corpus_hll_registers =
@@ -3199,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_recipe": q_corpus_recipe,
         "dedup_keeper_policy": q_dedup_keeper_policy,
         "t13_rank_weighted_sample": q_t13_rank_weighted_sample,
+        "text_bpe_fertility": q_text_bpe_fertility,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_simhash": q_text_simhash,

@@ -2951,3 +2951,33 @@ SELECT source,
        CAST(SUM(nt) AS BIGINT) AS tokens_sampled
 FROM sel GROUP BY source
 """
+
+
+# BPE fertility per language (mirror of q_text_bpe_fertility): the
+# shared merge chain's final tokenization rolled up by (lang, word)
+# multiplicities; fertility and compression as x1000 integer ratios.
+ORACLES["text_bpe_fertility"] = (
+    _BPE_CHAIN
+    + f"""
+, wtok AS MATERIALIZED (
+  SELECT word,
+         CAST(len(list_filter(string_split(tok, chr(31)), x -> x <> ''))
+              AS BIGINT) AS nt,
+         CAST(length(word) AS BIGINT) AS nc
+  FROM w{_BPE_MERGES}
+), dw AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS m FROM (
+    SELECT lang,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(m) AS BIGINT) AS n_words,
+       CAST(SUM(m * nt) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(m * nt) * 1000 // SUM(m) AS BIGINT) AS fertility_milli,
+       CAST(SUM(m * nc) * 1000 // SUM(m * nt) AS BIGINT) AS chars_per_token_milli
+FROM dw JOIN wtok USING (word) GROUP BY lang
+"""
+)

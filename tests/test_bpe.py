@@ -132,3 +132,22 @@ def test_bpe_apply_matches_python_reference(spark):
     assert 3 not in got
     raw = sum(len(w) + 1 for w in texts[0].split())
     assert got[0] < raw
+
+
+def test_fertility_penalizes_underrepresented_language(spark, tmp_path):
+    # vocab trained on a corpus dominated by repeated English-ish words
+    # must tokenize the dominant language more efficiently (lower
+    # fertility) than the underrepresented one whose words never merge
+    import __spark_entry__ as entry
+
+    rows = (
+        [(i, "lower lowest lower lowest lower", "en") for i in range(20)]
+        + [(100 + i, "zvqx wkjp zvqx bhfd", "xx") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["lang"]: r["fertility_milli"]
+        for r in entry.q_text_bpe_fertility(spark, str(tmp_path)).collect()
+    }
+    assert out["en"] < out["xx"], out
