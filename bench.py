@@ -293,6 +293,7 @@ def main() -> int:
             "scaling_1m_pinned_r4.json",
             "scaling_1m_pinned_r4b.json",
             "scaling_1m_pinned_r4c.json",
+            "scaling_1m_pinned_r4d.json",
             "scaling_1m_pinned_packedfix.json",
             "scaling_1m_pinned_r3e.json",
             "scaling_1m_pinned_r3h.json",
