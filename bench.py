@@ -326,7 +326,16 @@ def main() -> int:
             except Exception:
                 pass
         if reps:
-            protocol_1m["efficiency_replicates"] = reps
+            # headline = MEDIAN of the full replicate set (src's own
+            # value included) — a best-of headline invites the reader to
+            # discount the whole protocol; the max stays alongside
+            import statistics
+
+            all_eff = sorted(reps + [pj["efficiency"]])
+            protocol_1m["efficiency"] = round(statistics.median(all_eff), 3)
+            protocol_1m["efficiency_stat"] = "median_of_replicates"
+            protocol_1m["efficiency_max"] = max(all_eff)
+            protocol_1m["efficiency_replicates"] = all_eff
     except Exception:
         pass
 
@@ -389,6 +398,21 @@ def main() -> int:
                     mid["docs_per_sec"] / (sum(ends) / len(ends)), 3
                 ),
                 "source": "BENCH/scaling_4m_invariance.json (1M/4M/1M bracket)",
+            }
+        except (KeyError, StopIteration, ValueError):
+            pass
+    inv8m = os.path.join(_REPO, "BENCH", "scaling_8m_invariance.json")
+    if os.path.exists(inv8m):
+        try:
+            j8 = json.load(open(inv8m))
+            big = next(
+                l for l in j8["bracket_legs_in_order"] if l["docs"] == 8000000
+            )
+            out["invariance_8m"] = {
+                "docs_per_sec": big["docs_per_sec"],
+                "vs_1m_bracket_mean": j8["big_vs_small_ratio"],
+                "oracle_mismatches": big.get("oracle_mismatches"),
+                "source": "BENCH/scaling_8m_invariance.json (1M/8M/1M bracket)",
             }
         except (KeyError, StopIteration, ValueError):
             pass

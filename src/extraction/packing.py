@@ -123,10 +123,14 @@ def bounded_prefix_hist(
     silently turn the collect into a driver-side funnel; callers past
     the bound should use the two-phase distributed scan above instead.
     """
+    # limit(max_distinct+1) bounds what can reach the driver: a
+    # wide-domain column trips the guard after at most one excess row
+    # instead of funnelling its whole histogram through the collect.
     hist = sorted(
         (r["v"], r["n"])
         for r in df.groupBy(F.col(col).alias("v"))
         .agg(F.count("*").alias("n"))
+        .limit(max_distinct + 1)
         .collect()
     )
     if len(hist) > max_distinct:

@@ -1114,9 +1114,13 @@ def main() -> int:
         tq.collect()  # skew decisions exist only in the executed plan
         ptq = tq._jdf.queryExecution().executedPlan().toString()
     finally:
+        # Keys unset before the torture must be UNSET again, not left at
+        # the lowered test values, or any later section runs under them.
         for k, v in prev_conf.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
     check(
         "skew-join torture (hot source = 30% of docs, forced SMJ)",
         ptq,
