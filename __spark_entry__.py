@@ -3303,8 +3303,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles_sketch": q_text_length_quantiles_sketch,
         "text_classifier_score": q_text_classifier_score,
         "graph_pagerank_conserve": q_graph_pagerank_conserve,
-        # tail: redundant operating-point variants of families whose
-        # representative sits above (parity also pinned in pytest)
+    }
+
+
+def variant_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Redundant operating-point variants of families whose representative
+    sits in ``queries()``. Demoted from the driver/bench contract in round
+    5 (they were 14.8s of the 95.1s r4 bench and 3 of them re-fit the same
+    k-means blocking model per run) — still oracle-checked, but in pytest
+    (``tests/test_variant_parity.py`` runs each against its DuckDB oracle
+    at sf0.001) and on demand via ``tools/compare_oracle.py --variants``.
+    Their oracle SQL stays in ``oracle_sql()``.
+    """
+    return {
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "ann_lsh_top1": q_ann_lsh_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
