@@ -2583,6 +2583,77 @@ def q_s9_upsert_recrawl(spark, sf_dir):
     )
 
 
+def q_s12_incremental_extract(spark, sf_dir):
+    """Incremental extraction over a snapshot range — the daily-ingest
+    seat: yesterday's crawl was already extracted, today's run reads
+    ONLY the increment (new + changed docs) through
+    catalog.read_increment and runs the kernel over that slice alone.
+    Table refs use Iceberg's incremental append scan
+    (start/end-snapshot-id); the parquet fallback exercised here
+    computes the same increment structurally via a (key, content-md5)
+    anti-join of the current corpus version against the previous one.
+
+    Derivation (deterministic synth-input idiom): the previous crawl
+    lacks every i % 5 == 0 doc (-> new today) and carried an extra
+    stale span on every i % 20 == 3 doc (-> changed today; the CURRENT
+    content is what the increment yields, so extraction output matches
+    the full-corpus oracle rows for those ids exactly). Oracle = the
+    materialized pure-Python extraction table filtered to the increment
+    id set, so value-hash equality proves the anti-join surfaced
+    precisely the right docs AND the kernel produced bit-identical
+    spans for them. A pytest additionally proves increment + unchanged
+    == full extraction (tests/test_catalog.py).
+
+    Scale shape: one column-pruned (key, fp) scan of the previous
+    version, one sort-merge anti-join on doc_id, then the kernel over
+    an increment-sized input — the corpus is never re-extracted.
+    Reference anchor: checkpoint restore-and-continue,
+    src/train_detector.py:241-242."""
+    _ensure_pkg(spark)
+    from extraction.catalog import read_increment
+    from extraction.corpus import corpus_df
+    from extraction.pipeline import run_extraction
+    from extraction.schema import DOCS_SCHEMA
+
+    full = corpus_df(spark, 500, heavy_spans=300, slices=8)
+    num = F.substring("doc_id", 5, 9).cast("long")
+    stale = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("stale v1 marker").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(999999).cast("int").alias("offset"),
+        )
+    )
+    prev = full.filter(num % 5 != 0).withColumn(
+        "spans",
+        F.when(num % 20 == 3, F.concat(F.col("spans"), stale)).otherwise(
+            F.col("spans")
+        ),
+    )
+    base = os.path.join(
+        "/tmp", f"extraction_incr_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    full.write.mode("overwrite").parquet(os.path.join(base, "cur"))
+    prev.write.mode("overwrite").parquet(os.path.join(base, "prev"))
+    inc = read_increment(
+        spark,
+        os.path.join(base, "cur"),
+        os.path.join(base, "prev"),
+        schema=DOCS_SCHEMA,
+    )
+    out = run_extraction(inc, num_partitions=8)
+    return out.select(
+        "doc_id", F.posexplode_outer("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.order").alias("order"),
+    )
+
+
 def q_t8_pack_sequences(spark, sf_dir):
     """Sequence packing to a 512-token budget in doc_id order — the
     training-batch construction step, and the one operator whose
@@ -3303,6 +3374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles_sketch": q_text_length_quantiles_sketch,
         "text_classifier_score": q_text_classifier_score,
         "graph_pagerank_conserve": q_graph_pagerank_conserve,
+        # --- round 5 seats ---
+        "s12_incremental_extract": q_s12_incremental_extract,
     }
 
 

@@ -110,6 +110,78 @@ def current_snapshot_id(spark: SparkSession, ref: str) -> int:
     return int(row.snapshot_id) if row else 0
 
 
+def read_increment(
+    spark: SparkSession,
+    ref: str,
+    from_snapshot: int | str,
+    to_snapshot: int | None = None,
+    schema: StructType | None = None,
+    key_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Read only the rows that arrived after a previous corpus version —
+    the seat a daily 100 TB pipeline runs on: yesterday's run recorded
+    its input snapshot id in lineage (``current_snapshot_id``), today's
+    run extracts the increment instead of re-reading the corpus.
+
+    Table branch (the real thing): Iceberg's incremental append scan —
+
+        spark.read.format("iceberg")
+             .option("start-snapshot-id", <from>)   # EXCLUSIVE
+             .option("end-snapshot-id", <to>)       # inclusive, optional
+             .load(<table>)
+
+    ``from_snapshot``/``to_snapshot`` are snapshot ids (the lineage
+    table's ``input_snapshot`` field plugs in directly). Only APPEND
+    snapshots are surfaced — Iceberg refuses ranges containing
+    replace/overwrite commits, which is the correct failure mode for an
+    incremental consumer (a rewritten corpus needs a full re-read, and
+    a silent partial answer would be worse than the error).
+
+    Path branch (parquet fallback — no snapshot metadata exists):
+    ``from_snapshot`` is the PATH of the previous corpus version, and
+    the increment is computed structurally: current rows whose
+    (key, content-fingerprint) pair is absent from the previous version
+    — i.e. NEW docs plus CHANGED docs, exactly what an Iceberg
+    append+replace range would surface. The fingerprint is
+    ``md5(to_json(struct(content_cols)))`` (default: every non-key
+    column), computed on both sides in the scan stage.
+
+    Scale shape: both sides are corpus-sized, so this is an honest
+    big-big LEFT ANTI equi-join on (key, fp) — sort-merge, no broadcast
+    pretense; the previous side is column-pruned to (key, fp) at the
+    scan. With both versions bucketed on the key (bucketing.py) the
+    join plans with zero exchanges. Reference anchor: checkpoint
+    restore-and-continue, src/train_detector.py:241-242 — resume from
+    what was already processed instead of starting over.
+    """
+    if is_table_ref(ref):
+        name = require_catalog(spark, ref)
+        r = (
+            spark.read.format("iceberg")
+            .option("start-snapshot-id", str(int(from_snapshot)))
+        )
+        if to_snapshot is not None:
+            r = r.option("end-snapshot-id", str(int(to_snapshot)))
+        return r.load(name)
+    if not isinstance(from_snapshot, str):
+        raise ValueError(
+            "path-branch read_increment needs the previous corpus version "
+            f"as a path; got {from_snapshot!r} for parquet ref {ref!r} "
+            "(snapshot ids only exist on table: refs)"
+        )
+    cur = read_docs(spark, ref, schema)
+    prev = read_docs(spark, from_snapshot, schema)
+    cols = content_cols or [c for c in cur.columns if c != key_col]
+    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    prev_fp = prev.select(F.col(key_col), fp.alias("__fp"))
+    return (
+        cur.withColumn("__fp", fp)
+        .join(prev_fp, [key_col, "__fp"], "left_anti")
+        .drop("__fp")
+    )
+
+
 def overwrite_buckets(df: DataFrame, ref: str) -> None:
     """Commit one bucket group of output, overwriting only its buckets.
 

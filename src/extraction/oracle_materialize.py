@@ -117,4 +117,13 @@ FROM read_parquet('{path}')
 WHERE kind IS NOT NULL
 GROUP BY kind
 """,
+        # increment id set of q_s12_incremental_extract: new docs
+        # (i % 5 == 0) plus changed docs (i % 20 == 3); extraction of an
+        # increment doc must be bit-identical to its full-corpus rows
+        "s12_incremental_extract": f"""
+SELECT doc_id, kind, text, media_ref, "order"
+FROM read_parquet('{path}')
+WHERE CAST(substr(doc_id, 5) AS BIGINT) % 5 = 0
+   OR CAST(substr(doc_id, 5) AS BIGINT) % 20 = 3
+""",
     }

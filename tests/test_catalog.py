@@ -157,3 +157,85 @@ def test_compact_files_path_branch(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="spark.sql.catalog.noice"):
         C.compact_files(spark, "table:noice.db.docs")
+
+
+def test_read_increment_unconfigured_catalog_fails_fast(spark):
+    with pytest.raises(ValueError, match="spark.sql.catalog.noice"):
+        C.read_increment(spark, "table:noice.db.docs", 100)
+
+
+def test_read_increment_path_branch_needs_prev_path(spark, tmp_path):
+    # snapshot ids are meaningless on a parquet path; demand the prior
+    # version's path instead of silently reading nothing
+    with pytest.raises(ValueError, match="previous corpus version"):
+        C.read_increment(spark, str(tmp_path / "cur"), 12345)
+
+
+def test_read_increment_new_and_changed_only(spark, tmp_path):
+    """The path-branch increment is exactly {new keys} ∪ {changed
+    content}; unchanged rows never re-surface, and deleted-from-current
+    rows are not resurrected."""
+    cur_p, prev_p = str(tmp_path / "cur"), str(tmp_path / "prev")
+    prev = spark.createDataFrame(
+        [(1, "one v1"), (2, "two v1"), (3, "three v1"), (4, "gone")],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [(1, "one v1"), (2, "two v2"), (3, "three v1"), (9, "nine NEW")],
+        "doc_id long, text string",
+    )
+    prev.write.parquet(prev_p)
+    cur.write.parquet(cur_p)
+    inc = C.read_increment(spark, cur_p, prev_p)
+    got = {r["doc_id"]: r["text"] for r in inc.collect()}
+    assert got == {2: "two v2", 9: "nine NEW"}
+    assert inc.columns == cur.columns  # fingerprint column never leaks
+
+
+def test_increment_plus_unchanged_equals_full_extraction(spark, tmp_path):
+    """Incremental extraction composes: kernel(increment) ∪ yesterday's
+    output for unchanged docs == kernel(full corpus), span for span."""
+    from pyspark.sql import functions as F
+
+    from extraction.corpus import corpus_df
+    from extraction.pipeline import run_extraction
+
+    full = corpus_df(spark, 120, heavy_spans=100, slices=4)
+    num = F.substring("doc_id", 5, 9).cast("long")
+    stale = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("stale v1 marker").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(999999).cast("int").alias("offset"),
+        )
+    )
+    prev = full.filter(num % 5 != 0).withColumn(
+        "spans",
+        F.when(num % 20 == 3, F.concat(F.col("spans"), stale)).otherwise(
+            F.col("spans")
+        ),
+    )
+    cur_p, prev_p = str(tmp_path / "cur"), str(tmp_path / "prev")
+    full.write.parquet(cur_p)
+    prev.write.parquet(prev_p)
+    inc = C.read_increment(spark, cur_p, prev_p, schema=DOCS_SCHEMA)
+    inc_ids = {r["doc_id"] for r in inc.select("doc_id").collect()}
+    expect_ids = {f"doc-{i:09d}" for i in range(120) if i % 5 == 0 or i % 20 == 3}
+    assert inc_ids == expect_ids
+
+    def spans_of(df):
+        return {
+            (r["doc_id"], r["pos"], r["kind"], r["text"], r["media_ref"], r["order"])
+            for r in df.select(
+                "doc_id", F.posexplode_outer("spans").alias("pos", "span")
+            )
+            .select("doc_id", "pos", "span.kind", "span.text", "span.media_ref", "span.order")
+            .collect()
+        }
+
+    full_out = spans_of(run_extraction(spark.read.schema(DOCS_SCHEMA).parquet(cur_p), num_partitions=4))
+    inc_out = spans_of(run_extraction(inc, num_partitions=4))
+    unchanged_out = {t for t in full_out if t[0] not in expect_ids}
+    assert inc_out | unchanged_out == full_out
+    assert inc_out & unchanged_out == set()
