@@ -3183,6 +3183,55 @@ def q_text_cms_sketch(spark, sf_dir):
     )
 
 
+def q_text_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter frequency estimates FROM the CMS — the consume side
+    of the frequency sketch (text_cms_sketch builds the matrix; this is
+    what 100 TB telemetry does with it: probe a candidate term set
+    against the merged sketch instead of re-scanning the corpus). The
+    candidate set is the exact top-20 words (count-desc/word-asc
+    tie-break, the oracle pattern at test scale); each candidate's
+    estimate is min_i cnt[i][h_i(w)] over the d=4 rows, so est_n >=
+    exact_n ALWAYS (the one-sided overcount guarantee, pinned at unit
+    scale by tests/test_cms_sketch.py and at corpus scale by the
+    overcount column here — negative overcount on either engine would
+    fail the value hash).
+
+    Scale shape: the sketch is <= 256 rows (broadcast), the candidate
+    probe is 20x4 rows; after the one token-count agg nothing
+    corpus-sized moves. At production the candidate set comes from a
+    prior day's top-k or a watchlist — the probe never rescans."""
+    from extraction.textops import cms_cells, cms_sketch, words
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(words(F.col("text"))).alias("w"))
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("w"))
+        .limit(20)
+    )
+    sketch = cms_sketch(tok, "w")
+    probes = exact.select(
+        "w", "exact_n", F.explode(cms_cells(F.col("w"), 4, 64)).alias("c")
+    ).select(
+        "w",
+        "exact_n",
+        F.col("c.row").alias("row"),
+        F.col("c.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("est_n"))
+        .select(
+            F.col("w").alias("word"),
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+    )
+
+
 def q_text_bpe_apply(spark, sf_dir):
     """Apply the learned BPE vocabulary: per-doc token counts under the
     text_bpe_vocab tokenizer — the count t8_pack_sequences and length
@@ -3376,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_conserve": q_graph_pagerank_conserve,
         # --- round 5 seats ---
         "s12_incremental_extract": q_s12_incremental_extract,
+        "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     }
 
 

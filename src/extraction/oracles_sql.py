@@ -2842,6 +2842,41 @@ SELECT CAST(sketch_row AS BIGINT) AS sketch_row,
 FROM cells GROUP BY 1, 2
 """
 
+# Heavy-hitter estimates FROM the CMS (mirror of
+# q_text_cms_heavy_hitters): exact top-20 words as the candidate set,
+# estimate = min over the 4 row-salted cells; overcount = est - exact
+# is >= 0 by construction on both engines (the one-sided guarantee,
+# value-hashed here at corpus scale).
+ORACLES["text_cms_heavy_hitters"] = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), cnt AS (
+  SELECT w, COUNT(*) AS exact_n FROM tok GROUP BY 1
+), top AS (
+  SELECT w, exact_n FROM cnt ORDER BY exact_n DESC, w ASC LIMIT 20
+), cells AS (
+  SELECT r.i AS row,
+         CAST(concat('0x', substr(md5('cms' || r.i || ':' || w), 1, 15))
+              AS BIGINT) % 64 AS bucket
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r
+), sketch AS (
+  SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+), probe AS (
+  SELECT t.w, t.exact_n, r.i AS row,
+         CAST(concat('0x', substr(md5('cms' || r.i || ':' || t.w), 1, 15))
+              AS BIGINT) % 64 AS bucket
+  FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r
+)
+SELECT p.w AS word,
+       CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(s.cnt) AS BIGINT) AS est_n,
+       CAST(MIN(s.cnt) - p.exact_n AS BIGINT) AS overcount
+FROM probe p JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+GROUP BY p.w, p.exact_n
+"""
+
 
 # Composed corpus-prep recipe (mirror of q_corpus_recipe): exact dedup,
 # near-dup drop set (the _CC_CTES lsh_verified -> connected-components

@@ -100,3 +100,38 @@ def test_dominant_term_keeps_its_lead(spark):
     m = _matrix(t)
     assert _estimate(m, spark, "hot") >= 1000
     assert _estimate(m, spark, "rare") < _estimate(m, spark, "hot")
+
+
+def test_heavy_hitters_query_one_sided_at_corpus_scale(spark):
+    """The driver query's overcount column is the corpus-scale form of
+    the one-sided guarantee: est_n >= exact_n for every probed heavy
+    hitter, and the estimate never exceeds the total token mass."""
+    import sys
+
+    repo = __import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.q_text_cms_heavy_hitters(spark, sf).collect()
+    assert len(rows) == 20
+    # total token mass N: every sketch row's counters sum to it exactly
+    from extraction.textops import cms_sketch, words
+
+    tok = spark.read.parquet(sf + "/documents.parquet").select(
+        F.explode(words(F.col("text"))).alias("w")
+    )
+    n_tokens = (
+        cms_sketch(tok, "w").groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    )
+    assert len({r["s"] for r in n_tokens}) == 1  # row-mass conservation
+    n = n_tokens[0]["s"]
+    for r in rows:
+        assert r["est_n"] >= r["exact_n"], (r["word"], r["est_n"], r["exact_n"])
+        assert r["overcount"] == r["est_n"] - r["exact_n"]
+        assert r["overcount"] >= 0
+        # CMS guarantees nothing about ordering under collisions, but an
+        # estimate can never exceed the total mass in its sketch row
+        assert r["est_n"] <= n
