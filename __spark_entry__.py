@@ -2921,6 +2921,45 @@ def q_text_bpe_vocab(spark, sf_dir):
     return learn_bpe(d, "text", merges=8)
 
 
+def q_text_bpe_vocab_sampled(spark, sf_dir):
+    """Sampled BPE training — the SCALE form of text_bpe_vocab. Learning
+    is driver-round bound (each merge = one 1-row argmax job), so a
+    real 32k-merge vocab over 100 TB never trains on the full corpus;
+    standard practice trains the tokenizer on a bounded sample and
+    applies it corpus-wide (apply_bpe_token_counts takes the merge list
+    unchanged). The sample here is the repo's own exact-decimal Poisson
+    PPS machinery (t3's weighted arm, u = first-8-hex md5(doc_id‖'bpe'),
+    selection iff u·W < k·w·2^32 in decimal(38,0)/HUGEINT — portable,
+    deterministic, no order dependence), k=120 expected docs weighted by
+    n_chars+1 — longer docs carry proportionally more of the pair mass,
+    which is what the pair statistics care about. The oracle re-runs the
+    identical 8-merge chain over the identically-sampled docs, so the
+    merge SEQUENCE matches bit-for-bit. Driver-round cost model and the
+    measured merges-vs-wall curve live in BENCH/BPE.md. See
+    bpe.learn_bpe; weighted-sampling seat src/train_detector.py:129-175."""
+    from extraction.bpe import learn_bpe
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    k, two32 = 120, 4294967296
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("bpe"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    tot = d.agg(F.sum(F.col("n_chars") + F.lit(1)).cast("long").alias("w_total"))
+    sample = d.crossJoin(F.broadcast(tot)).filter(
+        dec(u) * dec(F.col("w_total"))
+        < dec(F.lit(k)) * dec((F.col("n_chars") + 1).cast("long")) * dec(F.lit(two32))
+    )
+    return learn_bpe(sample, "text", merges=8)
+
+
 def q_t13_rank_weighted_sample(spark, sf_dir):
     """Authority-weighted corpus sampling: the data-mixture sampler
     (t7's exact-decimal Poisson-PPS shape) with its weights coming FROM
@@ -3426,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 5 seats ---
         "s12_incremental_extract": q_s12_incremental_extract,
         "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
+        "text_bpe_vocab_sampled": q_text_bpe_vocab_sampled,
     }
 
 

@@ -116,7 +116,13 @@ def merge_pair(tok_col, t1: str, t2: str):
 def learn_bpe(docs: DataFrame, text_col: str, merges: int = 8) -> DataFrame:
     """Run ``merges`` BPE iterations; returns the merge sequence
     (merge_rank, left_sym, right_sym, pair_count) — model-sized, k
-    rows. Stops early if no pair remains (degenerate corpus)."""
+    rows. Stops early if no pair remains (degenerate corpus).
+
+    Cost model (measured, BENCH/BPE.md): wall ≈ a + b·k with b ≈
+    0.15 s/merge of fixed driver-round latency — a 32k-merge production
+    vocab is ~1.4h of rounds regardless of corpus size, so at scale
+    train on a bounded PPS sample (q_text_bpe_vocab_sampled) and apply
+    corpus-wide via apply_bpe_token_counts."""
     spark = docs.sparkSession
     wf = word_freq(docs, text_col).select(
         "word", "freq", initial_tok(F.col("word")).alias("tok")

@@ -2763,15 +2763,19 @@ def _bpe_iter(i: int) -> str:
 
 _BPE_MERGES = 8
 
-# shared WITH-chain prefix: word-type table, char+EOW tokenization, and
-# the 8 generated merge iterations (w8 = final per-word tokenization)
-_BPE_CHAIN = (
-    r"""
+
+def _bpe_chain(doc_source: str) -> str:
+    """WITH-chain prefix: word-type table over ``doc_source`` (a table
+    name or parenthesized subquery exposing a ``text`` column), char+EOW
+    tokenization, and the 8 generated merge iterations (w8 = final
+    per-word tokenization)."""
+    return (
+        r"""
 WITH wf AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
     SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
                               x -> x <> '')) AS word
-    FROM documents
+    FROM """ + doc_source + r"""
   ) GROUP BY 1
 ), w0 AS MATERIALIZED (
   SELECT word, freq,
@@ -2780,11 +2784,36 @@ WITH wf AS MATERIALIZED (
   FROM wf
 ),
 """
-    + ",\n".join(_bpe_iter(i) for i in range(1, _BPE_MERGES + 1))
-)
+        + ",\n".join(_bpe_iter(i) for i in range(1, _BPE_MERGES + 1))
+    )
+
+
+_BPE_CHAIN = _bpe_chain("documents")
+
+# PPS-sampled doc source for the sampled learn (mirror of
+# q_text_bpe_vocab_sampled): t3's weighted-arm predicate, u = first-8-hex
+# md5(doc_id || 'bpe'), selected iff u*W < 120*(n_chars+1)*2^32, exact
+# HUGEINT cross-multiplication
+_BPE_SAMPLE_SOURCE = """(
+  SELECT text FROM documents,
+    (SELECT CAST(SUM(n_chars + 1) AS HUGEINT) AS w_total FROM documents) tot
+  WHERE CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'bpe')), 1, 8)) AS BIGINT) AS HUGEINT)
+          * w_total
+        < CAST(120 AS HUGEINT) * CAST(n_chars + 1 AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+)"""
 
 ORACLES["text_bpe_vocab"] = (
     _BPE_CHAIN
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, t1 AS left_sym,"
+        f" t2 AS right_sym, cnt AS pair_count FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+)
+
+ORACLES["text_bpe_vocab_sampled"] = (
+    _bpe_chain(_BPE_SAMPLE_SOURCE)
     + "\n"
     + "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_rank, t1 AS left_sym,"
