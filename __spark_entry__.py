@@ -3079,70 +3079,15 @@ def q_corpus_recipe(spark, sf_dir):
     resolves docs multiple stages would kill). Scale shape: drop sets
     are permille-sized joins (AQE broadcasts), the fingerprint window
     partitions by fp (no global sort), and the final per-lang agg is a
-    handful of map-side-combined conditional sums."""
-    from extraction.dedup import (
-        decontaminate_hits,
-        lsh_verified_pairs,
-        neardup_components,
-    )
-    from extraction.textops import fingerprint, quality_score, token_count_ws
+    handful of map-side-combined conditional sums.
+
+    The staged derivation lives in recipe.py and is SHARED with the
+    production sink (job.py --mode recipe, recipe.run_recipe_sink) —
+    the published card and the shipped corpus cannot disagree."""
+    from extraction.recipe import recipe_card
 
     d = _par(spark, _t(spark, sf_dir, "documents"))
-    pairs = lsh_verified_pairs(
-        d, "text", "doc_id", k=3, perms=16, bands=4,
-        threshold_num=1, threshold_den=2,
-    ).select(
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-    )
-    nd_drops = (
-        neardup_components(pairs)
-        .filter(F.col("id") != F.col("component"))
-        .select(F.col("id").alias("doc_id"), F.lit(1).alias("nd"))
-    )
-    bench = d.filter(F.col("doc_id") % 20 == 7)
-    # train side excludes the eval slice (its self-overlap is 100% and
-    # the held_out stage would mask it anyway — excluding it here both
-    # matches the oracle's train CTE exactly and skips the wasted join)
-    cont = decontaminate_hits(
-        d.filter(F.col("doc_id") % 20 != 7), bench, "text", "doc_id", k=3
-    ).select(F.col("doc_id").cast("long").alias("doc_id"), F.lit(1).alias("ct"))
-    w_fp = Window.partitionBy("fp")
-    flagged = (
-        d.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "lang",
-            fingerprint(F.col("text")).alias("fp"),
-            quality_score(F.col("text")).alias("q"),
-            token_count_ws(F.col("text")).alias("nt"),
-        )
-        .withColumn("fp_min", F.min("doc_id").over(w_fp))
-        .join(nd_drops, "doc_id", "left")
-        .join(cont, "doc_id", "left")
-    )
-    stage = (
-        F.when(F.col("doc_id") % 20 == 7, F.lit("held_out"))
-        .when(F.col("doc_id") != F.col("fp_min"), F.lit("exact"))
-        .when(F.col("nd") == 1, F.lit("neardup"))
-        .when(F.col("ct") == 1, F.lit("contaminated"))
-        .when(F.col("q") < 30, F.lit("low_quality"))
-        .otherwise(F.lit("kept"))
-    )
-    staged = flagged.withColumn("stage", stage)
-    agg = [
-        F.sum(F.when(F.col("stage") == s, 1).otherwise(0))
-        .cast("long")
-        .alias(f"n_{s}")
-        for s in ("held_out", "exact", "neardup", "contaminated",
-                  "low_quality", "kept")
-    ]
-    return staged.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_in"),
-        *agg,
-        F.sum(F.when(F.col("stage") == "kept", F.col("nt")).otherwise(0))
-        .cast("long")
-        .alias("tokens_kept"),
-    )
+    return recipe_card(d)
 
 
 def q_text_bpe_fertility(spark, sf_dir):

@@ -107,6 +107,14 @@ def build_session(
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input")
+    p.add_argument(
+        "--mode", choices=["extract", "recipe"], default="extract",
+        help="extract: span extraction with bucket-commit lineage; "
+             "recipe: run the corpus-prep recipe (recipe.py) over a "
+             "documents table, ship the survivors to --output through "
+             "the catalog seam and append per-(lang, stage) attribution "
+             "to --lineage",
+    )
     p.add_argument("--gen", type=int, help="generate N synthetic docs instead of reading --input")
     p.add_argument("--heavy-spans", type=int, default=2000)
     p.add_argument("--output", required=True)
@@ -136,6 +144,23 @@ def main(argv: list[str] | None = None) -> int:
         a.master, a.shuffle_partitions, max_partition_bytes=a.max_partition_bytes
     )
     try:
+        if a.mode == "recipe":
+            from extraction.recipe import run_recipe_sink
+
+            docs = read_docs(spark, a.input)
+            stats = run_recipe_sink(
+                spark,
+                docs,
+                a.output,
+                a.lineage,
+                a.run_id,
+                snapshot_id=current_snapshot_id(spark, a.input),
+            )
+            print(
+                f"RECIPE_DONE docs_in={stats['docs_in']} "
+                f"docs_kept={stats['docs_kept']}"
+            )
+            return 0
         snapshot_id = 0
         if a.gen:
             docs = corpus_df(
