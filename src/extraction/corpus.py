@@ -226,3 +226,87 @@ def corpus_df(spark, n: int, seed: int = 42, heavy_spans: int = 2000, slices: in
         spark.range(0, n, 1, slices)
         .mapInPandas(gen_batches, schema=DOCS_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic LM-evaluation text corpus (BENCH/LM.md)
+# ---------------------------------------------------------------------------
+# The main synthetic corpus (gen_doc) draws every sentence i.i.d. from one
+# shared ~31-word vocabulary, so its bigram statistics barely vary across
+# documents — BENCH/LM.md round 4 honestly recorded that the bigram-LM
+# score cannot discriminate on it. This generator exists to give the LM a
+# corpus that CARRIES the signal: per-language Zipfian unigram marginals
+# with a per-language bigram CHAIN (fluent docs), a word-salad control
+# tier with the IDENTICAL unigram/stopword/punctuation profile but the
+# chain destroyed (so quality_score cannot separate it — only fluency
+# can), and a degenerate short-repetition tier (what a perplexity filter
+# exists to catch). Pure function of (seed, i), like gen_doc.
+
+_LM_LANGS = ("en", "de", "fr", "es")
+_LM_V = 48  # per-lang vocab size (31 base words + synthetic extras)
+_LM_CHAIN_A = {"en": 7, "de": 11, "fr": 13, "es": 17}
+_LM_CHAIN_B = {"en": 1, "de": 3, "fr": 5, "es": 9}
+
+
+def _zipf_table(v: int) -> list[int]:
+    """Rank-sampling table: rank r appears ~v/(r+1) times (Zipf-ish)."""
+    t: list[int] = []
+    for r in range(v):
+        t.extend([r] * max(1, v // (r + 1)))
+    return t
+
+
+_LM_ZIPF = _zipf_table(_LM_V)
+
+
+def _lm_vocab(lang: str) -> list[str]:
+    base = [f"{lang}{w}" for w in _WORDS]
+    return base + [f"{lang}x{k}" for k in range(_LM_V - len(base))]
+
+
+def gen_text_doc(i: int, seed: int = 42) -> tuple[int, str, str, str]:
+    """LM-eval document ``i``: (doc_id, lang, tier, text).
+
+    Tiers by i % 20: 0-11 fluent (60%), 12-16 salad (25%), 17-19
+    degenerate (15%). Fluent text follows the language's bigram chain
+    (next rank = (prev·A + B + rng(3)) mod V — ≤3 successors per
+    context); salad draws each content word independently from the
+    SAME Zipf marginal with the same stopword-every-4th / period-
+    every-10th cadence and length range, so every quality_score
+    feature matches fluent and only the bigram structure differs;
+    degenerate is one word repeated (short, punctuation-free —
+    quality_score < 50, so it forms the LM's held-out slice).
+    """
+    from .textops import STOPWORDS
+
+    rng = _Rng(seed * 0x9E3779B9 + 17, i)
+    lang = _LM_LANGS[(i // 20) % len(_LM_LANGS)]
+    slot = i % 20
+    tier = "fluent" if slot < 12 else ("salad" if slot < 17 else "degenerate")
+    vocab = _lm_vocab(lang)
+    sw = STOPWORDS[lang]
+    if tier == "degenerate":
+        wd = vocab[_LM_ZIPF[rng.next(len(_LM_ZIPF))]]
+        return i, lang, tier, " ".join([wd] * (4 + rng.next(6)))
+    n = 60 + rng.next(60)
+    out: list[str] = []
+    prev = _LM_ZIPF[rng.next(len(_LM_ZIPF))]
+    for k in range(n):
+        if tier == "fluent":
+            prev = (
+                prev * _LM_CHAIN_A[lang] + _LM_CHAIN_B[lang] + rng.next(3)
+            ) % _LM_V
+        else:
+            prev = _LM_ZIPF[rng.next(len(_LM_ZIPF))]
+        wd = vocab[prev]
+        if k % 10 == 9:
+            wd += "."
+        out.append(wd)
+        if k % 4 == 3:
+            out.append(sw[rng.next(len(sw))])
+    return i, lang, tier, " ".join(out)
+
+
+def gen_text_corpus(n: int, seed: int = 42) -> list[tuple[int, str, str, str]]:
+    """LM-eval docs 0..n-1 as python rows."""
+    return [gen_text_doc(i, seed) for i in range(n)]

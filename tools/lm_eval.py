@@ -15,6 +15,14 @@ the CCNet premise that reference-LM probability is a transferable
 quality signal. Feeds BENCH/LM.md.
 
 Usage: python tools/lm_eval.py [/root/testdata/sf0.1]
+       python tools/lm_eval.py --synthetic [N]
+
+--synthetic runs the same oracle SQL on the DISCRIMINATIVE deterministic
+corpus (corpus.gen_text_corpus: per-lang Zipf+bigram-chain fluent docs,
+a word-salad control with identical quality features, and a degenerate
+short-repetition tier) and reports lm_score per TIER — the measurement
+round 4's negative result asked for: a corpus that COULD show
+separation. Feeds BENCH/LM.md.
 """
 
 import os
@@ -28,9 +36,62 @@ sys.path.insert(0, os.path.join(REPO, "src"))
 from extraction.oracles_sql import ORACLES, _QUALITY_EXPR  # noqa: E402
 
 
+def _synthetic_view(con, n: int) -> None:
+    import pyarrow as pa
+
+    from extraction.corpus import gen_text_corpus
+
+    rows = gen_text_corpus(n)
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "tier": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    con.register("synth_docs", t)
+    con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM synth_docs")
+
+
+def _per_tier(con) -> None:
+    rows = con.sql(
+        f"""
+WITH lm AS ({ORACLES['text_lm_score']}),
+t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, tier,
+             {_QUALITY_EXPR} AS quality FROM documents),
+j AS (SELECT lm.*, t.tier, t.quality FROM lm JOIN t USING (doc_id))
+SELECT tier,
+       COUNT(*) AS n_docs,
+       CAST(quantile_disc(lm_score, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(lm_score, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(lm_score, 0.75) AS BIGINT) AS p75,
+       ROUND(SUM(oov_bigrams) * 1.0 / SUM(n_bigrams), 4) AS oov_rate,
+       CAST(quantile_disc(quality, 0.50) AS BIGINT) AS q_p50
+FROM j GROUP BY tier ORDER BY p50 DESC
+"""
+    ).fetchall()
+    print("tier         n_docs  lm_score p25/p50/p75      oov_rate  quality_p50")
+    for tier, n, p25, p50, p75, oov, q in rows:
+        print(f"{tier:12} {n:6}  {p25}/{p50}/{p75}  {oov}  {q}")
+    sep = {r[0]: r[3] for r in rows}
+    if "fluent" in sep and "salad" in sep and sep["salad"]:
+        print(
+            f"fluent/salad median lm_score ratio = "
+            f"{sep['fluent'] / max(1, sep['salad']):.2f} "
+            "(same quality features — only bigram fluency differs)"
+        )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     con = duckdb.connect()
+    if len(sys.argv) > 1 and sys.argv[1] == "--synthetic":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+        _synthetic_view(con, n)
+        print(f"synthetic discriminative corpus: {n} docs")
+        _per_tier(con)
+        return 0
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     path = os.path.join(sf_dir, "documents.parquet").replace("'", "''")
     con.execute(
         f"CREATE OR REPLACE VIEW documents AS "
