@@ -1057,6 +1057,48 @@ def main() -> int:
         },
     )
 
+    # incremental read (round 5): the previous-version side must be
+    # COLUMN-PRUNED to (key + content cols) at the scan — reading five
+    # columns to fingerprint one is the wrong 100 TB plan — and the
+    # increment must be a LEFT ANTI equi-join, never a cartesian
+    from extraction.catalog import read_increment
+
+    inc = read_increment(
+        spark,
+        os.path.join(SF_DIR, "documents.parquet"),
+        os.path.join(SF_DIR, "documents.parquet"),
+        key_col="doc_id",
+        content_cols=["text"],
+    )
+    pinc = plan_of(inc)
+    check(
+        "incremental read (prev side pruned to key+content, anti-join)",
+        pinc,
+        {
+            "left anti join": "LeftAnti" in pinc,
+            "no cartesian": "CartesianProduct" not in pinc,
+            "prev scan pruned to (doc_id, text)":
+                "ReadSchema: struct<doc_id:bigint,text:string>" in pinc,
+            "no Python in the hot path": "Python" not in pinc,
+        },
+    )
+
+    # CMS heavy-hitters (round 5): after the one token-count agg nothing
+    # corpus-sized may move — the sketch (<=256 rows) joins broadcast,
+    # and both the exact counts and the sketch combine map-side
+    hh = entry.q_text_cms_heavy_hitters(spark, SF_DIR)
+    phh = plan_of(hh)
+    check(
+        "CMS heavy hitters (broadcast sketch probe)",
+        phh,
+        {
+            "broadcast join present": "BroadcastHashJoin" in phh,
+            "no cartesian": "CartesianProduct" not in phh,
+            "map-side partial agg": "partial_count" in phh,
+            "no Python in the hot path": "Python" not in phh,
+        },
+    )
+
     # --- skew-join torture: one source = 30% of docs, forced SMJ ---
     # The EXECUTED adaptive plan must show AQE's skew-split firing
     # (skew=true / "AQEShuffleRead ... skewed") — this only materializes
