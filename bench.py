@@ -266,6 +266,7 @@ def main() -> int:
         # prefer the pair measured on the shipped (packed-partitioner)
         # code path; the pre-fix r3 pairs stay as replicates
         candidates = (
+            "scaling_1m_pinned_r5.json",
             "scaling_1m_pinned_r4.json",
             "scaling_1m_pinned_packedfix.json",
             "scaling_1m_pinned_r3.json",
@@ -290,6 +291,7 @@ def main() -> int:
         }
         reps = []
         for name in (
+            "scaling_1m_pinned_r5.json",
             "scaling_1m_pinned_r4.json",
             "scaling_1m_pinned_r4b.json",
             "scaling_1m_pinned_r4c.json",
