@@ -2631,8 +2631,14 @@ def q_s12_incremental_extract(spark, sf_dir):
             F.col("spans")
         ),
     )
+    # fixed, seed-independent scratch path (md5, not hash() — the latter
+    # is PYTHONHASHSEED-random and would leak one orphan dir per process);
+    # overwrite mode makes reruns reuse it. Spark runs never overlap on
+    # this box (measurement house rule), so no concurrency hazard.
+    import hashlib
+
     base = os.path.join(
-        "/tmp", f"extraction_incr_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+        "/tmp", f"extraction_incr_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     )
     full.write.mode("overwrite").parquet(os.path.join(base, "cur"))
     prev.write.mode("overwrite").parquet(os.path.join(base, "prev"))
@@ -2940,7 +2946,15 @@ def q_text_bpe_vocab_sampled(spark, sf_dir):
     from extraction.bpe import learn_bpe
 
     d = _par(spark, _t(spark, sf_dir, "documents"))
-    k, two32 = 120, 4294967296
+    return learn_bpe(bpe_pps_sample(d), "text", merges=8)
+
+
+def bpe_pps_sample(d: DataFrame, k: int = 120) -> DataFrame:
+    """The ONE sample derivation behind text_bpe_vocab_sampled, its
+    DuckDB oracle mirror (_BPE_SAMPLE_SOURCE), and the BENCH/BPE.md
+    timing curve (tools/bpe_curve.py) — t3's weighted Poisson-PPS arm
+    with salt 'bpe', weight n_chars+1, expected ``k`` docs."""
+    two32 = 4294967296
 
     def dec(c):
         return c.cast("decimal(38,0)")
@@ -2953,11 +2967,10 @@ def q_text_bpe_vocab_sampled(spark, sf_dir):
         10,
     ).cast("long")
     tot = d.agg(F.sum(F.col("n_chars") + F.lit(1)).cast("long").alias("w_total"))
-    sample = d.crossJoin(F.broadcast(tot)).filter(
+    return d.crossJoin(F.broadcast(tot)).filter(
         dec(u) * dec(F.col("w_total"))
         < dec(F.lit(k)) * dec((F.col("n_chars") + 1).cast("long")) * dec(F.lit(two32))
     )
-    return learn_bpe(sample, "text", merges=8)
 
 
 def q_t13_rank_weighted_sample(spark, sf_dir):

@@ -330,10 +330,19 @@ def main() -> int:
         if reps:
             # headline = MEDIAN of the full replicate set (src's own
             # value included) — a best-of headline invites the reader to
-            # discount the whole protocol; the max stays alongside
+            # discount the whole protocol; the max stays alongside.
+            # The src file passes through the SAME same-window/supra-
+            # linear filter as every other replicate, so the median
+            # never mixes two measurement policies.
             import statistics
 
-            all_eff = sorted(reps + [pj["efficiency"]])
+            src_pairs = [
+                x
+                for x in (pj.get("interleaved_pair_efficiencies") or [])
+                if x <= 1.0
+            ]
+            src_eff = max(src_pairs) if src_pairs else pj["efficiency"]
+            all_eff = sorted(reps + [src_eff])
             protocol_1m["efficiency"] = round(statistics.median(all_eff), 3)
             protocol_1m["efficiency_stat"] = "median_of_replicates"
             protocol_1m["efficiency_max"] = max(all_eff)

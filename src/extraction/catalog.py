@@ -170,6 +170,13 @@ def read_increment(
             f"as a path; got {from_snapshot!r} for parquet ref {ref!r} "
             "(snapshot ids only exist on table: refs)"
         )
+    if to_snapshot is not None:
+        raise ValueError(
+            "path-branch read_increment cannot bound the range at "
+            f"to_snapshot={to_snapshot!r}: parquet paths have no snapshot "
+            "metadata — the increment is always current-vs-previous. Use a "
+            "table: ref for snapshot-range reads."
+        )
     cur = read_docs(spark, ref, schema)
     prev = read_docs(spark, from_snapshot, schema)
     cols = content_cols or [c for c in cur.columns if c != key_col]

@@ -310,3 +310,22 @@ def gen_text_doc(i: int, seed: int = 42) -> tuple[int, str, str, str]:
 def gen_text_corpus(n: int, seed: int = 42) -> list[tuple[int, str, str, str]]:
     """LM-eval docs 0..n-1 as python rows."""
     return [gen_text_doc(i, seed) for i in range(n)]
+
+
+def text_corpus_arrow(n: int, seed: int = 42):
+    """The LM-eval corpus as a pyarrow table (doc_id, lang, tier, text) —
+    the one registration both tools/lm_eval.py --synthetic and
+    tests/test_lm_discrimination.py bind as the DuckDB ``documents``
+    view, so the published measurement and the pinning test can never
+    diverge on the view schema."""
+    import pyarrow as pa
+
+    rows = gen_text_corpus(n, seed)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "tier": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )

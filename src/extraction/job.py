@@ -147,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
         if a.mode == "recipe":
             from extraction.recipe import run_recipe_sink
 
+            if not a.input:
+                p.error(
+                    "--mode recipe requires --input (a documents table "
+                    "ref or parquet path; --gen only applies to extract "
+                    "mode's span corpus)"
+                )
             docs = read_docs(spark, a.input)
             stats = run_recipe_sink(
                 spark,

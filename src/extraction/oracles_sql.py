@@ -3045,3 +3045,25 @@ SELECT lang,
 FROM dw JOIN wtok USING (word) GROUP BY lang
 """
 )
+
+
+def lm_tier_stats_sql() -> str:
+    """Per-TIER lm_score stats over the synthetic LM-eval corpus (the
+    ``documents`` view must expose a ``tier`` column — see
+    corpus.text_corpus_arrow). Shared by tools/lm_eval.py --synthetic
+    (the BENCH/LM.md measurement) and tests/test_lm_discrimination.py
+    (the pinning test) so the two cannot silently diverge."""
+    return f"""
+WITH lm AS ({ORACLES['text_lm_score']}),
+t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, tier,
+             {_QUALITY_EXPR} AS quality FROM documents),
+j AS (SELECT lm.*, t.tier, t.quality FROM lm JOIN t USING (doc_id))
+SELECT tier,
+       COUNT(*) AS n_docs,
+       CAST(quantile_disc(lm_score, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(lm_score, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(lm_score, 0.75) AS BIGINT) AS p75,
+       SUM(oov_bigrams) * 1.0 / SUM(n_bigrams) AS oov_rate,
+       CAST(quantile_disc(quality, 0.50) AS BIGINT) AS q_p50
+FROM j GROUP BY tier ORDER BY p50 DESC
+"""

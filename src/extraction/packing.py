@@ -135,9 +135,10 @@ def bounded_prefix_hist(
     )
     if len(hist) > max_distinct:
         raise ValueError(
-            f"prefix histogram over {col!r} has {len(hist)} distinct "
-            f"values (> {max_distinct}); the driver-prefix rank pattern "
-            "requires a bounded small domain — use the two-phase "
+            f"prefix histogram over {col!r} has MORE than {max_distinct} "
+            "distinct values (count capped by the guard's limit — the "
+            "true cardinality may be far larger); the driver-prefix rank "
+            "pattern requires a bounded small domain — use the two-phase "
             "distributed cumsum (pack_sequences) instead"
         )
     prefix, acc = {}, 0

@@ -24,12 +24,6 @@ from pyspark.sql import functions as F
 
 STAGES = ("held_out", "exact", "neardup", "contaminated", "low_quality", "kept")
 
-# attribution rows the recipe sink appends to the lineage ref
-RECIPE_LINEAGE_COLS = (
-    "run_id string, snapshot_id long, lang string, stage string, "
-    "n_docs long, tokens long, committed_at timestamp"
-)
-
 
 def recipe_staged(d: DataFrame) -> DataFrame:
     """Per-doc stage attribution: (doc_id, lang, nt, stage) with stage ∈
@@ -124,16 +118,35 @@ def run_recipe_sink(
 
     Survivors keep their ORIGINAL document columns (a doc_id equi-join
     back to the input — sort-merge at corpus scale, zero exchanges when
-    both sides are bucketed on doc_id). Data first, lineage second, same
-    crash discipline as run_with_lineage: a crash between the two writes
-    leaves data without attribution; the rerun re-appends (table branch:
-    one atomic Iceberg append per write).
+    both sides are bucketed on doc_id) plus a ``run_id`` partition
+    column. Crash discipline mirrors run_with_lineage, data first,
+    lineage second, and BOTH writes are idempotent per run_id:
+
+    - If lineage already holds this run_id, the run is complete — skip
+      entirely (resume no-op; lineage-second means lineage present
+      implies data committed).
+    - The survivor write is a DYNAMIC PARTITION OVERWRITE of the run's
+      own ``run_id=...`` partition (table branch: overwritePartitions,
+      one atomic Iceberg snapshot), so a crash between data and lineage
+      re-executes into the same partition instead of double-appending.
 
     The attribution appended to lineage is EXACTLY the card the
     reporting query publishes (same staged frame, same agg), so the
-    shipped corpus and its dataset card cannot disagree.
+    shipped corpus and its dataset card cannot disagree — including
+    across crash-reruns.
     """
-    from extraction.catalog import append_rows
+    from extraction.catalog import append_rows, is_table_ref, read_back
+
+    try:
+        already = (
+            read_back(spark, lineage_ref)
+            .filter(F.col("run_id") == run_id)
+            .head(1)
+        )
+    except Exception:  # first run: lineage table does not exist yet
+        already = []
+    if already:
+        return {"docs_in": 0, "docs_kept": 0, "skipped": True}
 
     staged = recipe_staged(docs)
     # localCheckpoint: staged drives BOTH the survivor join and the
@@ -143,8 +156,18 @@ def run_recipe_sink(
     survivors = docs.join(
         staged.filter(F.col("stage") == "kept").select("doc_id"),
         "doc_id",
-    )
-    append_rows(survivors, output_ref)
+    ).withColumn("run_id", F.lit(run_id))
+    if is_table_ref(output_ref):
+        from extraction.catalog import require_catalog
+
+        survivors.writeTo(
+            require_catalog(spark, output_ref)
+        ).overwritePartitions()
+    else:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        survivors.write.mode("overwrite").partitionBy("run_id").parquet(
+            output_ref
+        )
     attribution = (
         staged.groupBy("lang", "stage")
         .agg(

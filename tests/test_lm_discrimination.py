@@ -7,45 +7,28 @@ Zipf vocabulary, same stopword/punct cadence, same length range as
 fluent, so quality_score cannot separate the two; only the bigram
 chain differs. The LM score must separate them anyway (that is what a
 fluency score IS), and the degenerate tier must carry the OOV mass.
+View registration and the per-tier SQL are the SAME helpers the
+published measurement uses (corpus.text_corpus_arrow /
+oracles_sql.lm_tier_stats_sql), so measurement and test cannot
+silently diverge.
 """
 
 import duckdb
-import pyarrow as pa
 import pytest
 
-from extraction.corpus import gen_text_corpus
-from extraction.oracles_sql import ORACLES, _QUALITY_EXPR
+from extraction.corpus import text_corpus_arrow
+from extraction.oracles_sql import lm_tier_stats_sql
 
 
 @pytest.fixture(scope="module")
 def stats():
-    rows = gen_text_corpus(2000)
-    t = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "lang": pa.array([r[1] for r in rows], pa.string()),
-            "tier": pa.array([r[2] for r in rows], pa.string()),
-            "text": pa.array([r[3] for r in rows], pa.string()),
-        }
-    )
     con = duckdb.connect()
-    con.register("synth_docs", t)
+    con.register("synth_docs", text_corpus_arrow(2000))
     con.execute("CREATE VIEW documents AS SELECT * FROM synth_docs")
-    out = con.sql(
-        f"""
-WITH lm AS ({ORACLES['text_lm_score']}),
-t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, tier,
-             {_QUALITY_EXPR} AS quality FROM documents),
-j AS (SELECT lm.*, t.tier, t.quality FROM lm JOIN t USING (doc_id))
-SELECT tier,
-       CAST(quantile_disc(lm_score, 0.50) AS BIGINT) AS p50,
-       CAST(quantile_disc(quality, 0.50) AS BIGINT) AS q50,
-       SUM(oov_bigrams) * 1.0 / SUM(n_bigrams) AS oov
-FROM j GROUP BY tier
-"""
-    ).fetchall()
+    out = con.sql(lm_tier_stats_sql()).fetchall()
     con.close()
-    return {r[0]: {"p50": r[1], "q50": r[2], "oov": r[3]} for r in out}
+    # columns: tier, n_docs, p25, p50, p75, oov_rate, q_p50
+    return {r[0]: {"p50": r[3], "q50": r[6], "oov": r[5]} for r in out}
 
 
 def test_salad_is_a_true_quality_control(stats):

@@ -28,8 +28,8 @@ def test_recipe_sink_ships_exactly_the_kept_set(spark, tmp_path):
     assert written_ids == kept_ids
     assert stats["docs_kept"] == len(kept_ids)
     assert stats["docs_in"] == docs.count()
-    # survivors keep their ORIGINAL columns, not the staged projection
-    assert set(written.columns) == set(docs.columns)
+    # survivors keep their ORIGINAL columns plus the run_id partition
+    assert set(written.columns) == set(docs.columns) | {"run_id"}
     # spot-check content integrity on one survivor
     some_id = next(iter(kept_ids))
     orig = docs.filter(F.col("doc_id") == some_id).collect()[0]
@@ -73,3 +73,27 @@ def test_recipe_sink_appends_are_attributed_per_run(spark, tmp_path):
     d1 = lin.filter(F.col("run_id") == "day1").agg(F.sum("n_docs")).collect()[0][0]
     d2 = lin.filter(F.col("run_id") == "day2").agg(F.sum("n_docs")).collect()[0][0]
     assert d1 == d2 == half.count()
+
+
+def test_recipe_sink_rerun_is_idempotent(spark, tmp_path):
+    """The crash discipline: a completed run_id is a no-op on rerun, and
+    a crash between data and lineage (simulated: lineage lost) re-executes
+    into the same run_id partition instead of double-appending."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    out_ref = str(tmp_path / "cleaned")
+    lin_ref = str(tmp_path / "lineage")
+    first = run_recipe_sink(spark, docs, out_ref, lin_ref, "r1")
+    n_rows = spark.read.parquet(out_ref).count()
+    # completed run: rerun skips entirely
+    again = run_recipe_sink(spark, docs, out_ref, lin_ref, "r1")
+    assert again.get("skipped") is True
+    assert spark.read.parquet(out_ref).count() == n_rows
+    # crash-between simulation: data committed, lineage write lost —
+    # the rerun must overwrite its own partition, not double-ship
+    lin2 = str(tmp_path / "lineage_lost")
+    redo = run_recipe_sink(spark, docs, out_ref, lin2, "r1")
+    assert redo.get("skipped") is not True
+    assert redo["docs_kept"] == first["docs_kept"]
+    assert spark.read.parquet(out_ref).count() == n_rows
+    lin_rows = spark.read.parquet(lin2).filter(F.col("run_id") == "r1")
+    assert lin_rows.agg(F.sum("n_docs")).collect()[0][0] == docs.count()

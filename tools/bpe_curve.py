@@ -58,35 +58,12 @@ def main() -> int:
             w, n = timed(lambda m: learn_bpe(docs, "text", merges=m), k)
             full_curve.append({"merges": k, "wall_sec": w, "rows": n})
             print(f"full    k={k:>3}: {w:7.3f}s ({n} merges)")
-        # sampled side reuses the driver query's own sample derivation
-        # (k=120 expected docs, PPS by n_chars+1) by calling the query fn
-        # at the requested merge count via a thin wrapper
-        from pyspark.sql import functions as F
-
+        # sampled side calls the driver's OWN sample derivation
+        # (entry.bpe_pps_sample: k=120 expected docs, PPS by n_chars+1)
+        # so the timing curve and the agreement check below can never
+        # silently measure different samples
         def sample_df():
-            d = docs.repartition(8)
-            tot = d.agg(
-                F.sum(F.col("n_chars") + F.lit(1)).cast("long").alias("w_total")
-            )
-            u = F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("bpe"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-
-            def dec(c):
-                return c.cast("decimal(38,0)")
-
-            return d.crossJoin(F.broadcast(tot)).filter(
-                dec(u) * dec(F.col("w_total"))
-                < dec(F.lit(120))
-                * dec((F.col("n_chars") + 1).cast("long"))
-                * dec(F.lit(4294967296))
-            )
+            return entry.bpe_pps_sample(docs.repartition(8))
 
         n_sampled = sample_df().count()
         for k in MERGE_COUNTS:

@@ -37,43 +37,19 @@ from extraction.oracles_sql import ORACLES, _QUALITY_EXPR  # noqa: E402
 
 
 def _synthetic_view(con, n: int) -> None:
-    import pyarrow as pa
+    from extraction.corpus import text_corpus_arrow
 
-    from extraction.corpus import gen_text_corpus
-
-    rows = gen_text_corpus(n)
-    t = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "lang": pa.array([r[1] for r in rows], pa.string()),
-            "tier": pa.array([r[2] for r in rows], pa.string()),
-            "text": pa.array([r[3] for r in rows], pa.string()),
-        }
-    )
-    con.register("synth_docs", t)
+    con.register("synth_docs", text_corpus_arrow(n))
     con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM synth_docs")
 
 
 def _per_tier(con) -> None:
-    rows = con.sql(
-        f"""
-WITH lm AS ({ORACLES['text_lm_score']}),
-t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, tier,
-             {_QUALITY_EXPR} AS quality FROM documents),
-j AS (SELECT lm.*, t.tier, t.quality FROM lm JOIN t USING (doc_id))
-SELECT tier,
-       COUNT(*) AS n_docs,
-       CAST(quantile_disc(lm_score, 0.25) AS BIGINT) AS p25,
-       CAST(quantile_disc(lm_score, 0.50) AS BIGINT) AS p50,
-       CAST(quantile_disc(lm_score, 0.75) AS BIGINT) AS p75,
-       ROUND(SUM(oov_bigrams) * 1.0 / SUM(n_bigrams), 4) AS oov_rate,
-       CAST(quantile_disc(quality, 0.50) AS BIGINT) AS q_p50
-FROM j GROUP BY tier ORDER BY p50 DESC
-"""
-    ).fetchall()
+    from extraction.oracles_sql import lm_tier_stats_sql
+
+    rows = con.sql(lm_tier_stats_sql()).fetchall()
     print("tier         n_docs  lm_score p25/p50/p75      oov_rate  quality_p50")
     for tier, n, p25, p50, p75, oov, q in rows:
-        print(f"{tier:12} {n:6}  {p25}/{p50}/{p75}  {oov}  {q}")
+        print(f"{tier:12} {n:6}  {p25}/{p50}/{p75}  {round(oov, 4)}  {q}")
     sep = {r[0]: r[3] for r in rows}
     if "fluent" in sep and "salad" in sep and sep["salad"]:
         print(
