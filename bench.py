@@ -292,6 +292,7 @@ def main() -> int:
         reps = []
         for name in (
             "scaling_1m_pinned_r5.json",
+            "scaling_1m_pinned_r5b.json",
             "scaling_1m_pinned_r4.json",
             "scaling_1m_pinned_r4b.json",
             "scaling_1m_pinned_r4c.json",
