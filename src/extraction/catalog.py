@@ -110,6 +110,41 @@ def current_snapshot_id(spark: SparkSession, ref: str) -> int:
     return int(row.snapshot_id) if row else 0
 
 
+def read_at_snapshot(
+    spark: SparkSession,
+    ref: str,
+    snapshot_id: int | str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Time-travel read: the corpus AS OF a snapshot — the audit seat
+    (re-run yesterday's dataset card against exactly the input version
+    yesterday's lineage rows recorded) and the third member of the
+    snapshot lifecycle alongside ``current_snapshot_id`` (provenance)
+    and ``read_increment`` (what changed since).
+
+    Table branch: Iceberg snapshot pin —
+    ``spark.read.option("snapshot-id", <id>).table(<t>)`` (fail-fast on
+    an unconfigured catalog). Parquet fallback: snapshot ids do not
+    exist, so ``snapshot_id`` must be the PATH of the materialized
+    prior version (the same convention as read_increment's
+    ``from_snapshot``); an int is rejected with a pointed error.
+    """
+    if is_table_ref(ref):
+        name = require_catalog(spark, ref)
+        return (
+            spark.read.format("iceberg")
+            .option("snapshot-id", str(int(snapshot_id)))
+            .load(name)
+        )
+    if not isinstance(snapshot_id, str):
+        raise ValueError(
+            f"path-branch read_at_snapshot got snapshot_id={snapshot_id!r} "
+            f"for parquet ref {ref!r}: snapshot ids only exist on table: "
+            "refs — pass the prior version's path instead"
+        )
+    return read_docs(spark, snapshot_id, schema)
+
+
 def read_increment(
     spark: SparkSession,
     ref: str,

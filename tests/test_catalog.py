@@ -239,3 +239,18 @@ def test_increment_plus_unchanged_equals_full_extraction(spark, tmp_path):
     unchanged_out = {t for t in full_out if t[0] not in expect_ids}
     assert inc_out | unchanged_out == full_out
     assert inc_out & unchanged_out == set()
+
+
+def test_read_at_snapshot_dispatch(spark, tmp_path):
+    # table branch fails fast without the catalog conf
+    with pytest.raises(ValueError, match="spark.sql.catalog.noice"):
+        C.read_at_snapshot(spark, "table:noice.db.docs", 123)
+    # path branch rejects an int snapshot id with a pointed message
+    with pytest.raises(ValueError, match="prior version's path"):
+        C.read_at_snapshot(spark, str(tmp_path / "cur"), 123)
+    # path branch reads the materialized prior version
+    prev = spark.createDataFrame([(1, "v1")], "doc_id long, text string")
+    prev_p = str(tmp_path / "prev")
+    prev.write.parquet(prev_p)
+    got = C.read_at_snapshot(spark, str(tmp_path / "cur"), prev_p).collect()
+    assert [(r["doc_id"], r["text"]) for r in got] == [(1, "v1")]
