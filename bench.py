@@ -414,18 +414,25 @@ def main() -> int:
             }
         except (KeyError, StopIteration, ValueError):
             pass
-    inv8m = os.path.join(_REPO, "BENCH", "scaling_8m_invariance.json")
-    if os.path.exists(inv8m):
+    for label, fname, big_docs, small in (
+        ("invariance_8m", "scaling_8m_invariance.json", 8000000, "1M"),
+        ("invariance_16m", "scaling_16m_invariance.json", 16000000, "4M"),
+    ):
+        fpath = os.path.join(_REPO, "BENCH", fname)
+        if not os.path.exists(fpath):
+            continue
         try:
-            j8 = json.load(open(inv8m))
+            jv = json.load(open(fpath))
             big = next(
-                l for l in j8["bracket_legs_in_order"] if l["docs"] == 8000000
+                l
+                for l in jv["bracket_legs_in_order"]
+                if l["docs"] == big_docs
             )
-            out["invariance_8m"] = {
+            out[label] = {
                 "docs_per_sec": big["docs_per_sec"],
-                "vs_1m_bracket_mean": j8["big_vs_small_ratio"],
+                "vs_small_bracket_mean": jv["big_vs_small_ratio"],
                 "oracle_mismatches": big.get("oracle_mismatches"),
-                "source": "BENCH/scaling_8m_invariance.json (1M/8M/1M bracket)",
+                "source": f"BENCH/{fname} ({small} bracket)",
             }
         except (KeyError, StopIteration, ValueError):
             pass
