@@ -125,7 +125,22 @@ def main() -> int:
         REPO, "BENCH", "scaling_16m_invariance.json"))
     p.add_argument("--timeout", type=float, default=9000.0,
                    help="per-leg spark-submit timeout (sec)")
+    p.add_argument("--shuffle-codec", default="",
+                   help="override spark.io.compression.codec for ALL legs "
+                        "(e.g. zstd — needed at 16M: the lz4 shuffle alone "
+                        "is ~58 GB and everything lives in tmpfs RAM; see "
+                        "the OOM post-mortem in BENCH/BASELINE.md)")
+    p.add_argument("--reclaim-small", action="store_true",
+                   help="delete the small corpus during the big leg and "
+                        "regenerate it (content-addressed, deterministic) "
+                        "before small-b — frees its tmpfs bytes for the "
+                        "big leg's working set; gen time is untimed")
     a = p.parse_args()
+
+    if a.shuffle_codec:
+        os.environ["EXTRACTION_EXTRA_SPARK_CONFS"] = (
+            f"spark.io.compression.codec={a.shuffle_codec}"
+        )
 
     subprocess.run(["sh", os.path.join(REPO, "bench", "package.sh")], check=True)
     os.makedirs(a.workdir, exist_ok=True)
@@ -145,6 +160,14 @@ def main() -> int:
     legs = [("small-a", a.small), ("big", a.big), ("small-b", a.small)]
     results = []
     for tag, docs in legs:
+        if a.reclaim_small:
+            # small corpus is dead weight during the big leg; regenerate
+            # it (bit-identical: pure function of index, content-addressed
+            # path) before small-b. Gen wall is outside every timed leg.
+            if tag == "big":
+                shutil.rmtree(corpus_path(a.small), ignore_errors=True)
+            elif tag == "small-b":
+                gen_corpus(a.small, a.heavy_spans, corpus_path(a.small))
         bw_before = membw_gbps()
         run = run_submit(
             a.cores, corpus_path(docs), a.workdir, f"inv_{tag}", 0,
@@ -184,6 +207,9 @@ def main() -> int:
         "bracket_legs_in_order": results,
         "corpus_gen_walls_sec": gen_walls,
         "cmdline": vars(a),
+        "extra_spark_confs": os.environ.get(
+            "EXTRACTION_EXTRA_SPARK_CONFS", ""
+        ),
     }
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as f:

@@ -96,6 +96,17 @@ def _build_cmd(
     if cpuset_factor:
         n_cpus = cores * cpuset_factor
         prefix = ["taskset", "-c", f"{cpu_first}-{cpu_first + n_cpus - 1}"]
+    # EXTRACTION_EXTRA_SPARK_CONFS="k=v,k=v" appends --conf pairs. Used by
+    # the 16M invariance bracket to swap the shuffle codec to zstd: with
+    # everything tmpfs-resident, the lz4 shuffle of the 16M leg (~58 GB)
+    # plus input+output exceeds this box's 125 GB RAM (OOM post-mortem in
+    # BENCH/BASELINE.md). Both bracket legs run the identical conf, so the
+    # big/small ratio stays internally valid; the default protocol is
+    # untouched when the env var is unset.
+    extra_confs = []
+    for kv in os.environ.get("EXTRACTION_EXTRA_SPARK_CONFS", "").split(","):
+        if kv.strip():
+            extra_confs += ["--conf", kv.strip()]
     cmd = prefix + [
         spark_submit,
         "--master", f"local[{cores}]",
@@ -105,6 +116,7 @@ def _build_cmd(
         # -Xmx1g default -> heap OOM at 16 concurrent fat-row scan tasks)
         "--driver-memory", os.environ.get("EXTRACTION_DRIVER_MEM", "12g"),
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+        *extra_confs,
         "--py-files", os.path.join(REPO, "dist", "extraction.zip"),
         os.path.join(SRC, "extraction", "job.py"),
         "--input", corpus,
