@@ -63,6 +63,54 @@ def membw_gbps() -> float:
     return round(0.2 / statistics.median(walls), 2)
 
 
+def _corpus_fds_open(corpus: str) -> bool:
+    """True if ANY process on the box holds a file under ``corpus`` open
+    (scans /proc/*/fd symlinks — local mode, everything is on this host)."""
+    import glob
+
+    for fd in glob.glob("/proc/[0-9]*/fd/*"):
+        try:
+            if os.readlink(fd).startswith(corpus):
+                return True
+        except OSError:
+            continue
+    return False
+
+
+def _input_reclaimer(corpus: str, outdir: str, stop_evt) -> None:
+    """Delete the (regenerable, content-addressed) input corpus the
+    moment the running leg provably no longer needs it.
+
+    Why: on this box shuffle, input AND output all live in tmpfs RAM, and
+    the 16M leg's peak working set does not fit alongside its 18 GB input
+    (OOM post-mortem in BENCH/BASELINE.md). The pipeline has exactly one
+    shuffle boundary (the skew-aware repartition), so once the WRITER
+    stage has begun committing part files the scan stage is complete and
+    no task will ever open the input again. Criterion, deliberately
+    two-fold: a part file exists under the output tree (writer stage
+    running — it cannot start before the scan stage finishes) AND no
+    process holds a corpus file open for two consecutive 15 s polls
+    (belt-and-braces against any recompute in flight). A real cluster
+    never needs this: input lives on object storage, not executor RAM.
+    """
+    import glob
+
+    poll_sec = float(os.environ.get("EXTRACTION_RECLAIM_POLL_SEC", "15"))
+    clear_polls = 0
+    while not stop_evt.is_set():
+        part_committed = bool(
+            glob.glob(os.path.join(outdir, "**", "part-*"), recursive=True)
+        )
+        if part_committed and not _corpus_fds_open(corpus):
+            clear_polls += 1
+            if clear_polls >= 2:
+                shutil.rmtree(corpus, ignore_errors=True)
+                return
+        else:
+            clear_polls = 0
+        stop_evt.wait(poll_sec)
+
+
 def leg_verify(run: dict, sample: int) -> dict:
     """Oracle spot-check + lineage skew stats for ONE leg's output."""
     from extraction.corpus import gen_doc
@@ -135,6 +183,14 @@ def main() -> int:
                         "regenerate it (content-addressed, deterministic) "
                         "before small-b — frees its tmpfs bytes for the "
                         "big leg's working set; gen time is untimed")
+    p.add_argument("--reclaim-input-after-scan", action="store_true",
+                   help="during the BIG leg, delete its input corpus once "
+                        "the writer stage is committing and no process "
+                        "holds a corpus file open (the scan is complete "
+                        "by then — single shuffle boundary). Frees the "
+                        "big input's tmpfs bytes for the shuffle+output "
+                        "peak; the 16M bracket needs this on a 125 GB "
+                        "box. See _input_reclaimer.")
     a = p.parse_args()
 
     if a.shuffle_codec:
@@ -168,11 +224,31 @@ def main() -> int:
                 shutil.rmtree(corpus_path(a.small), ignore_errors=True)
             elif tag == "small-b":
                 gen_corpus(a.small, a.heavy_spans, corpus_path(a.small))
+        reclaimer = stop_evt = None
+        if a.reclaim_input_after_scan and tag == "big":
+            import threading
+
+            stop_evt = threading.Event()
+            reclaimer = threading.Thread(
+                target=_input_reclaimer,
+                args=(
+                    corpus_path(docs),
+                    os.path.join(a.workdir, f"out_inv_{tag}_r0"),
+                    stop_evt,
+                ),
+                daemon=True,
+            )
+            reclaimer.start()
         bw_before = membw_gbps()
-        run = run_submit(
-            a.cores, corpus_path(docs), a.workdir, f"inv_{tag}", 0,
-            cpuset_factor=a.cpuset_factor, timeout_sec=a.timeout,
-        )
+        try:
+            run = run_submit(
+                a.cores, corpus_path(docs), a.workdir, f"inv_{tag}", 0,
+                cpuset_factor=a.cpuset_factor, timeout_sec=a.timeout,
+            )
+        finally:
+            if stop_evt is not None:
+                stop_evt.set()
+                reclaimer.join(timeout=30)
         bw_after = membw_gbps()
         ver_res = leg_verify(run, a.sample)
         rec = {
