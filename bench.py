@@ -437,6 +437,22 @@ def main() -> int:
             }
         except (KeyError, StopIteration, ValueError):
             pass
+    stream_path = os.path.join(_REPO, "BENCH", "streaming_throughput.json")
+    if os.path.exists(stream_path):
+        try:
+            sj = json.load(open(stream_path))
+            if sj.get("outputs_identical") and not sj.get(
+                "oracle_mismatches"
+            ):
+                out["streaming"] = {
+                    "docs_per_sec": sj["stream_docs_per_sec"],
+                    "vs_batch_same_input": sj["streaming_over_batch"],
+                    "micro_batches": sj["micro_batches"],
+                    "source": "BENCH/streaming_throughput.json "
+                              "(amortization curve in BENCH/STREAMING.md)",
+                }
+        except (KeyError, ValueError):
+            pass
     line = json.dumps(out)
     # belt-and-braces: degrade rather than overflow the 2000-char capture
     for drop in ("scaling", "queries", "extract"):
