@@ -93,13 +93,17 @@ def _input_reclaimer(corpus: str, outdir: str, stop_evt) -> None:
     (belt-and-braces against any recompute in flight). A real cluster
     never needs this: input lives on object storage, not executor RAM.
     """
-    import glob
-
     poll_sec = float(os.environ.get("EXTRACTION_RECLAIM_POLL_SEC", "15"))
     clear_polls = 0
     while not stop_evt.is_set():
-        part_committed = bool(
-            glob.glob(os.path.join(outdir, "**", "part-*"), recursive=True)
+        # the writer stages through a HIDDEN .spark-staging-<uuid> dir and
+        # glob's ** skips dot-entries — walk instead (measured: the
+        # glob-based check never fired on a real 16M leg; part files live
+        # under .spark-staging-*/_temporary/... until job commit)
+        part_committed = any(
+            f.startswith("part-")
+            for _, _, files in os.walk(outdir)
+            for f in files
         )
         if part_committed and not _corpus_fds_open(corpus):
             clear_polls += 1
