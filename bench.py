@@ -295,6 +295,7 @@ def main() -> int:
             "scaling_1m_pinned_r5b.json",
             "scaling_1m_pinned_r5c.json",
             "scaling_1m_pinned_r5d.json",
+            "scaling_1m_pinned_r5e.json",
             "scaling_1m_pinned_r4.json",
             "scaling_1m_pinned_r4b.json",
             "scaling_1m_pinned_r4c.json",
