@@ -436,12 +436,17 @@ def main() -> int:
                 "oracle_mismatches": big.get("oracle_mismatches"),
                 "source": f"BENCH/{fname} ({small} bracket)",
             }
-            # replicate bracket (same protocol, suffix _b): report its
-            # ratio alongside so the headline is never a single window
-            rep_path = fpath.replace(".json", "_b.json")
-            if os.path.exists(rep_path):
-                rj = json.load(open(rep_path))
-                out[label]["replicate_ratio"] = rj["big_vs_small_ratio"]
+            # replicate brackets (same protocol, suffixes _b, _c, …):
+            # report their ratios alongside so the headline is never a
+            # single window
+            reps_r = []
+            for sfx in ("_b", "_c", "_d"):
+                rep_path = fpath.replace(".json", f"{sfx}.json")
+                if os.path.exists(rep_path):
+                    rj = json.load(open(rep_path))
+                    reps_r.append(rj["big_vs_small_ratio"])
+            if reps_r:
+                out[label]["replicate_ratios"] = reps_r
         except (KeyError, StopIteration, ValueError):
             pass
     stream_path = os.path.join(_REPO, "BENCH", "streaming_throughput.json")
