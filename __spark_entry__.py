@@ -3229,6 +3229,103 @@ def q_text_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 eval-prompt retrieval over the corpus — the
+    retrieval-for-curation seat: decontamination screening and
+    DSIR-style data selection both probe a small query set against
+    corpus-wide term statistics (Okapi BM25 is the standard scorer;
+    the reference's analogue is the filename-probe join E5,
+    /root/reference/src/HelperMethods.py:167-186). Probes are the
+    first 5 docs' first 8 normalized words (the eval-prompt shape);
+    k1=1.2, b=0.75 folded into ONE integer-exact rational per
+    (doc, term):
+
+      contrib = 44000*(N+1)*tf*T  div  (df+1)*(20*tf*T + 6*T + 18*dl*N)
+
+    which is floor(1000 * idf_s * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)))
+    with avgdl = T/N kept rational (never a float) and log-idf replaced
+    by the monotone rational surrogate (N+1)/(df+1) — every compared
+    value is a BIGINT so the oracle hash is bit-exact (the house
+    integer-constants discipline, constants.py).
+
+    Scale shape: the probe term set is model-sized and BROADCAST; the
+    corpus token stream is materialized once (localCheckpoint — doclen
+    and the semi-joined tf both consume it); document lengths are the
+    text_token_counts one-agg shape; tf/df exist ONLY for the ~40
+    probe terms (the broadcast semi-join prunes the stream BEFORE any
+    per-term shuffle); (N, T) ride along as a broadcast 1-row
+    crossJoin. The final rank is a window over <= 5 qid partitions of
+    candidate docs — never the corpus. Magnitudes: 44000*(N+1)*tf*T
+    <= 6e15 at sf0.1 (int64-safe, ~1500x headroom); a 10^12-doc run
+    rescales T and N to per-million units before the fold (same floor
+    identity — both appear once in numerator and denominator)."""
+    from extraction.textops import normalize_text, words
+
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    tok = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(words(normalize_text(F.col("text")))).alias("w"),
+    ).localCheckpoint(eager=False)
+    probe = (
+        d.where(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").cast("long").alias("qid"),
+            F.explode(
+                F.slice(words(normalize_text(F.col("text"))), 1, 8)
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    doclen = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    # N = docs with >= 1 token, T = total tokens — ONE derivation both
+    # engines share, so empty-text docs can't skew N on one side only
+    scalars = doclen.agg(
+        F.sum("dl").cast("long").alias("tt"),
+        F.count("*").cast("long").alias("nn"),
+    )
+    tf = (
+        tok.join(F.broadcast(probe.select("w").distinct()), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tfc"))
+    )
+    dft = tf.groupBy("w").agg(F.count("*").cast("long").alias("dft"))
+    scored = (
+        tf.join(F.broadcast(dft), "w")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "num",
+            F.lit(44000).cast("long")
+            * (F.col("nn") + F.lit(1))
+            * F.col("tfc")
+            * F.col("tt"),
+        )
+        .withColumn(
+            "den",
+            (F.col("dft") + F.lit(1))
+            * (
+                F.lit(20) * F.col("tfc") * F.col("tt")
+                + F.lit(6) * F.col("tt")
+                + F.lit(18) * F.col("dl") * F.col("nn")
+            ),
+        )
+        .select("w", "doc_id", F.expr("num div den").alias("contrib"))
+    )
+    score = (
+        scored.join(F.broadcast(probe), "w")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score_s"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("score_s"), F.asc("doc_id"))
+    )
+    return (
+        score.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 10)
+        .select("qid", "rnk", "doc_id", "score_s")
+    )
+
+
 def q_text_bpe_apply(spark, sf_dir):
     """Apply the learned BPE vocabulary: per-doc token counts under the
     text_bpe_vocab tokenizer — the count t8_pack_sequences and length
@@ -3424,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_incremental_extract": q_s12_incremental_extract,
         "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
         "text_bpe_vocab_sampled": q_text_bpe_vocab_sampled,
+        "text_bm25_topk": q_text_bm25_topk,
     }
 
 

@@ -2907,6 +2907,63 @@ GROUP BY p.w, p.exact_n
 """
 
 
+# BM25 eval-prompt retrieval (mirror of q_text_bm25_topk): probes are
+# the first 5 docs' first 8 normalized words; the (k1=1.2, b=0.75)
+# saturation and the rational idf surrogate (N+1)/(df+1) are folded
+# into one BIGINT floor division per (doc, term) — identical operand
+# order to the Spark side so `//` and `div` truncate the same value.
+# N and T derive from the doclen CTE on both engines (docs with >= 1
+# token), never from a separate COUNT(*) that empty-text rows could
+# skew on one side only.
+ORACLES["text_bm25_topk"] = r"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_filter(regexp_split_to_array(
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g')), '\s+'), x -> x <> '')) AS w
+  FROM documents
+), pw AS (
+  SELECT CAST(doc_id AS BIGINT) AS qid,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g')), '\s+'), x -> x <> '')[1:8] AS ws
+  FROM documents WHERE doc_id < 5
+), probe AS (
+  SELECT DISTINCT qid, unnest(ws) AS w FROM pw
+), doclen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), scal AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS tt, CAST(COUNT(*) AS BIGINT) AS nn
+  FROM doclen
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tfc FROM tok
+  WHERE w IN (SELECT w FROM probe) GROUP BY 1, 2
+), dft AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS dft FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id, tf.w,
+         (44000 * (s.nn + 1) * tf.tfc * s.tt)
+           // ((d.dft + 1) * (20 * tf.tfc * s.tt + 6 * s.tt
+                              + 18 * l.dl * s.nn)) AS contrib
+  FROM tf
+  CROSS JOIN scal s
+  JOIN dft d ON tf.w = d.w
+  JOIN doclen l ON tf.doc_id = l.doc_id
+), score AS (
+  SELECT p.qid, c.doc_id, CAST(SUM(c.contrib) AS BIGINT) AS score_s
+  FROM contrib c JOIN probe p ON c.w = p.w
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT qid, doc_id, score_s,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score_s DESC, doc_id ASC) AS rnk
+  FROM score
+)
+SELECT qid, CAST(rnk AS INTEGER) AS rnk, doc_id, score_s
+FROM ranked WHERE rnk <= 10
+"""
+
+
 # Composed corpus-prep recipe (mirror of q_corpus_recipe): exact dedup,
 # near-dup drop set (the _CC_CTES lsh_verified -> connected-components
 # chain, reused verbatim), 3-shingle benchmark decontamination (reusing

@@ -1099,6 +1099,27 @@ def main() -> int:
         },
     )
 
+    # BM25 retrieval (round 5): probe terms, per-term df and the (N, T)
+    # scalars are all model-sized and must join BROADCAST; the corpus
+    # token stream shuffles once (the per-(doc, term) tf agg AFTER the
+    # semi-join prune) plus the doclen agg; the rank window partitions
+    # by qid over candidate docs only. Nothing corpus-sized may move a
+    # second time and no Python touches the stream.
+    bm = entry.q_text_bm25_topk(spark, SF_DIR)
+    pbm = plan_of(bm)
+    check(
+        "BM25 eval-prompt retrieval (broadcast term stats)",
+        pbm,
+        {
+            "broadcast joins present": "BroadcastHashJoin" in pbm,
+            "no cartesian": "CartesianProduct" not in pbm,
+            "map-side partial agg": "partial_count" in pbm,
+            "scan pruned to (doc_id, text)":
+                "ReadSchema: struct<doc_id:bigint,text:string>" in pbm,
+            "no Python in the hot path": "Python" not in pbm,
+        },
+    )
+
     # --- skew-join torture: one source = 30% of docs, forced SMJ ---
     # The EXECUTED adaptive plan must show AQE's skew-split firing
     # (skew=true / "AQEShuffleRead ... skewed") — this only materializes
