@@ -3326,6 +3326,75 @@ def q_text_bm25_topk(spark, sf_dir):
     )
 
 
+def q_text_chunk_windows(spark, sf_dir):
+    """Context-window chunking: split each document's token stream into
+    overlapping fixed-width windows (width 32, stride 24 — the
+    pretraining/RAG-index chunk shape). t8_pack_sequences packs SHORT
+    docs up to a budget; this is the complementary half of sequence
+    layout — docs LONGER than the context window are cut into
+    stride-overlapped chunks so no token is lost at a boundary (every
+    position is covered, consecutive windows share width-stride
+    tokens). Per chunk: token count, first/last token, and a portable
+    32-bit md5-prefix fingerprint of the joined tokens (the chunk-level
+    dedup / index key). Reference analogue: the fragment split-reassemble
+    order contract S5, /root/reference/src/HelperMethods.py:142-157.
+
+    Scale shape: ZERO shuffles — tokenize, explode window starts, and
+    derive per-chunk columns are all narrow maps, so the corpus
+    partitioning carries straight through and output cardinality is
+    bounded by (1 + width/stride) x corpus tokens. The window-start
+    array is a cheap int sequence (the expensive token array is
+    let-bound per row and the slice is referenced exactly ONCE —
+    the interpreted-Generate discipline, CLAUDE.md); head/tail come
+    from element_at, never a second slice. A 10^12-doc run is pure
+    map-side: no key, no skew, no exchange to size.
+    """
+    from extraction.textops import normalize_text, words
+
+    W, S = 32, 24
+    d = _par(spark, _t(spark, sf_dir, "documents"))
+    toks = (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            words(normalize_text(F.col("text"))).alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+        .localCheckpoint(eager=False)
+    )
+    win = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(S))
+        ).alias("start"),
+    )
+    n_toks = F.least(F.lit(W), F.size("toks") - F.col("start")).cast("long")
+    return win.select(
+        "doc_id",
+        F.expr(f"CAST(start div {S} AS BIGINT)").alias("win_id"),
+        n_toks.alias("n_toks"),
+        F.element_at("toks", F.col("start") + 1).alias("head"),
+        F.element_at("toks", (F.col("start") + n_toks).cast("int")).alias(
+            "tail"
+        ),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice("toks", F.col("start") + 1, F.lit(W))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("fp"),
+    )
+
+
 def q_text_bpe_apply(spark, sf_dir):
     """Apply the learned BPE vocabulary: per-doc token counts under the
     text_bpe_vocab tokenizer — the count t8_pack_sequences and length
@@ -3522,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
         "text_bpe_vocab_sampled": q_text_bpe_vocab_sampled,
         "text_bm25_topk": q_text_bm25_topk,
+        "text_chunk_windows": q_text_chunk_windows,
     }
 
 

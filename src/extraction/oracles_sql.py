@@ -2964,6 +2964,41 @@ FROM ranked WHERE rnk <= 10
 """
 
 
+# Context-window chunking (mirror of q_text_chunk_windows): width 32,
+# stride 24 over the normalized word list. range(0, n, 24) is stop-
+# EXCLUSIVE, which equals Spark's stop-inclusive sequence(0, n-1, 24)
+# start set exactly (largest multiple of 24 strictly below n);
+# DuckDB list slicing toks[a:b] is 1-based end-inclusive and clamps at
+# the list end exactly like F.slice(toks, a, 32) near the tail. The
+# chunk fingerprint is the portable 32-bit md5-prefix of the
+# space-joined slice (the house cross-engine hash); head/tail read
+# single elements so the slice is evaluated once per row on both
+# engines.
+ORACLES["text_chunk_windows"] = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), nz AS (
+  SELECT doc_id, toks FROM toks WHERE len(toks) > 0
+), win AS (
+  SELECT doc_id, toks, CAST(unnest(range(0, len(toks), 24)) AS BIGINT) AS start
+  FROM nz
+)
+SELECT doc_id,
+       start // 24 AS win_id,
+       CAST(LEAST(32, len(toks) - start) AS BIGINT) AS n_toks,
+       toks[CAST(start + 1 AS INTEGER)] AS head,
+       toks[CAST(start + LEAST(32, len(toks) - start) AS INTEGER)] AS tail,
+       CAST(concat('0x', substr(md5(array_to_string(
+         toks[CAST(start + 1 AS INTEGER):CAST(start + 32 AS INTEGER)], ' ')), 1, 8))
+         AS BIGINT) AS fp
+FROM win
+"""
+
+
 # Composed corpus-prep recipe (mirror of q_corpus_recipe): exact dedup,
 # near-dup drop set (the _CC_CTES lsh_verified -> connected-components
 # chain, reused verbatim), 3-shingle benchmark decontamination (reusing

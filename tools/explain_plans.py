@@ -1120,6 +1120,21 @@ def main() -> int:
         },
     )
 
+    # --- context-window chunking: the zero-shuffle narrow map ---
+    cw = entry.q_text_chunk_windows(spark, SF_DIR)
+    pcw = plan_of(cw)
+    check(
+        "context-window chunking (zero-shuffle narrow map)",
+        pcw,
+        {
+            "NO exchange anywhere (pure map-side)": "Exchange" not in pcw,
+            "window-start explode present": "Generate" in pcw
+            and "explode(sequence" in pcw,
+            "no join of any kind": "Join" not in pcw,
+            "no Python in the hot path": "Python" not in pcw,
+        },
+    )
+
     # --- skew-join torture: one source = 30% of docs, forced SMJ ---
     # The EXECUTED adaptive plan must show AQE's skew-split firing
     # (skew=true / "AQEShuffleRead ... skewed") — this only materializes
