@@ -3395,6 +3395,45 @@ def q_text_chunk_windows(spark, sf_dir):
     )
 
 
+def q_dedup_chunk_boilerplate(spark, sf_dir):
+    """Chunk-level boilerplate detection — the consume side of
+    text_chunk_windows (the same pairing as CMS sketch -> heavy
+    hitters): a 32-token window whose fingerprint recurs across
+    DISTINCT documents is boilerplate (nav bars, license headers,
+    templated footers — the C4/RefinedWeb line-dedup signal lifted to
+    fixed-width chunks). Emits every fingerprint spanning >= 2 docs
+    with its occurrence count, doc span, and min-bound chunk witness
+    (n_toks/head/tail via MIN for determinism under the 32-bit fp).
+
+    Scale shape: the aggregation is TWO-LEVEL — per-(fp, doc_id)
+    counts first (map-side partial), then per-fp over the already
+    doc-distinct table — because boilerplate fps are BY DEFINITION the
+    hot keys (a footer in 10^9 docs is one fp); a single
+    countDistinct(doc_id) would shuffle every raw occurrence to one
+    reducer per hot fp, while the two-level form's second stage moves
+    only one row per (fp, doc). Both stages partial-agg map-side; the
+    chunk derivation itself is the zero-shuffle narrow map of
+    text_chunk_windows."""
+    chunks = q_text_chunk_windows(spark, sf_dir)
+    per_doc = chunks.groupBy("fp", "doc_id").agg(
+        F.count("*").cast("long").alias("k"),
+        F.min("n_toks").alias("mnt"),
+        F.min("head").alias("mh"),
+        F.min("tail").alias("mt"),
+    )
+    return (
+        per_doc.groupBy("fp")
+        .agg(
+            F.sum("k").cast("long").alias("n_occ"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("mnt").alias("n_toks"),
+            F.min("mh").alias("head"),
+            F.min("mt").alias("tail"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 def q_text_bpe_apply(spark, sf_dir):
     """Apply the learned BPE vocabulary: per-doc token counts under the
     text_bpe_vocab tokenizer — the count t8_pack_sequences and length
@@ -3592,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_vocab_sampled": q_text_bpe_vocab_sampled,
         "text_bm25_topk": q_text_bm25_topk,
         "text_chunk_windows": q_text_chunk_windows,
+        "dedup_chunk_boilerplate": q_dedup_chunk_boilerplate,
     }
 
 

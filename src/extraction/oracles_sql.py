@@ -2974,7 +2974,7 @@ FROM ranked WHERE rnk <= 10
 # space-joined slice (the house cross-engine hash); head/tail read
 # single elements so the slice is evaluated once per row on both
 # engines.
-ORACLES["text_chunk_windows"] = r"""
+_CHUNK_SQL = r"""
 WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          list_filter(regexp_split_to_array(
@@ -2996,6 +2996,26 @@ SELECT doc_id,
          toks[CAST(start + 1 AS INTEGER):CAST(start + 32 AS INTEGER)], ' ')), 1, 8))
          AS BIGINT) AS fp
 FROM win
+"""
+
+ORACLES["text_chunk_windows"] = _CHUNK_SQL
+
+
+# Chunk-level boilerplate detection (mirror of q_dedup_chunk_boilerplate):
+# the consume side of the chunk table — fingerprints spanning >= 2
+# distinct docs, with the same two-level (fp, doc) -> fp aggregation so
+# the MIN-witness columns resolve identically under 32-bit fp collisions.
+ORACLES["dedup_chunk_boilerplate"] = f"""
+WITH cw AS ({_CHUNK_SQL}),
+per_doc AS (
+  SELECT fp, doc_id, CAST(COUNT(*) AS BIGINT) AS k,
+         MIN(n_toks) AS mnt, MIN(head) AS mh, MIN(tail) AS mt
+  FROM cw GROUP BY 1, 2
+)
+SELECT fp, CAST(SUM(k) AS BIGINT) AS n_occ,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(mnt) AS n_toks, MIN(mh) AS head, MIN(mt) AS tail
+FROM per_doc GROUP BY fp HAVING COUNT(*) >= 2
 """
 
 

@@ -82,6 +82,55 @@ def test_chunk_semantics_on_constructed_corpus(spark, tmp_path):
     assert len({r["fp"] for r in d0}) == 4
 
 
+def test_chunk_boilerplate_on_constructed_corpus(spark, tmp_path):
+    """dedup_chunk_boilerplate: a 32-token block shared verbatim by two
+    docs (the templated-footer shape) must surface with n_docs == 2;
+    chunks unique to one doc must not, even when repeated WITHIN that
+    doc (within-doc repetition is not boilerplate — n_occ counts it,
+    the n_docs >= 2 filter gates on doc span)."""
+    footer = " ".join(f"f{i:03d}" for i in range(32))
+    uniq_a = " ".join(f"a{i:03d}" for i in range(48))
+    uniq_b = " ".join(f"b{i:03d}" for i in range(48))
+    cyc = " ".join(f"c{i:03d}" for i in range(24))
+    rows = [
+        (0, footer + " " + uniq_a, "en"),  # footer at window 0
+        (1, footer + " " + uniq_b, "en"),  # same footer at window 0
+        (2, uniq_a, "en"),  # shares doc 0's SUFFIX but never window-aligned
+        # stride-periodic text: windows 0 and 1 are IDENTICAL 32-token
+        # chunks within ONE doc (n_occ 2, n_docs 1 -> must be filtered)
+        (3, cyc + " " + cyc + " " + cyc, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = entry.q_dedup_chunk_boilerplate(spark, str(tmp_path)).collect()
+    cw = entry.q_text_chunk_windows(spark, str(tmp_path)).collect()
+    footer_fp = next(
+        r["fp"] for r in cw if r["doc_id"] == 0 and r["win_id"] == 0
+    )
+    by_fp = {r["fp"]: r for r in out}
+    assert footer_fp in by_fp
+    hit = by_fp[footer_fp]
+    assert hit["n_docs"] == 2 and hit["n_occ"] == 2
+    assert hit["n_toks"] == 32
+    assert hit["head"] == "f000" and hit["tail"] == "f031"
+    # every reported fp spans >= 2 docs by construction of the filter
+    assert all(r["n_docs"] >= 2 for r in out)
+    # doc 2 re-uses doc 0's token SUBSEQUENCE at a different alignment:
+    # none of its chunk fps may be reported (chunking is stride-aligned,
+    # so only window-aligned repetition counts — the documented contract)
+    doc2_fps = {r["fp"] for r in cw if r["doc_id"] == 2}
+    assert doc2_fps.isdisjoint(by_fp)
+    # doc 3's stride-periodic text repeats a chunk WITHIN the doc
+    # (windows 0 and 1 carry the same fp) — n_docs == 1, so it must
+    # not be reported as boilerplate
+    d3 = sorted(
+        (r for r in cw if r["doc_id"] == 3), key=lambda r: r["win_id"]
+    )
+    assert d3[0]["fp"] == d3[1]["fp"], "periodic text must repeat the fp"
+    assert d3[0]["fp"] not in by_fp
+
+
 def test_chunk_testdata_shape_and_oracle_parity(spark):
     sf = "/root/testdata/sf0.001"
     sdf = entry.q_text_chunk_windows(spark, sf)
@@ -92,6 +141,10 @@ def test_chunk_testdata_shape_and_oracle_parity(spark):
         assert 1 <= r["n_toks"] <= W
         assert r["head"] and r["tail"]
 
+    bdf = entry.q_dedup_chunk_boilerplate(spark, sf)
+    bcols = bdf.columns
+    brows = bdf.collect()
+
     con = duckdb.connect()
     try:
         con.execute(
@@ -101,6 +154,9 @@ def test_chunk_testdata_shape_and_oracle_parity(spark):
         res = con.execute(entry.oracle_sql()["text_chunk_windows"])
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
+        bres = con.execute(entry.oracle_sql()["dedup_chunk_boilerplate"])
+        dbcols = [d[0] for d in bres.description]
+        dbrows = bres.fetchall()
     finally:
         con.close()
 
@@ -110,3 +166,5 @@ def test_chunk_testdata_shape_and_oracle_parity(spark):
 
     assert sorted(scols) == sorted(dcols)
     assert norm(srows, scols) == norm(drows, dcols)
+    assert sorted(bcols) == sorted(dbcols)
+    assert norm(brows, bcols) == norm(dbrows, dbcols)

@@ -1135,6 +1135,21 @@ def main() -> int:
         },
     )
 
+    # --- chunk boilerplate: hot-key-safe two-level aggregation ---
+    cb = entry.q_dedup_chunk_boilerplate(spark, SF_DIR)
+    pcb = plan_of(cb)
+    check(
+        "chunk boilerplate (two-level hot-key-safe agg)",
+        pcb,
+        {
+            "two-level agg: (fp, doc_id) exchange present":
+                "hashpartitioning(fp" in pcb and "doc_id" in pcb,
+            "map-side partial agg": "partial_count" in pcb,
+            "no join of any kind": "Join" not in pcb,
+            "no Python in the hot path": "Python" not in pcb,
+        },
+    )
+
     # --- skew-join torture: one source = 30% of docs, forced SMJ ---
     # The EXECUTED adaptive plan must show AQE's skew-split firing
     # (skew=true / "AQEShuffleRead ... skewed") — this only materializes
