@@ -297,6 +297,7 @@ def main() -> int:
             "scaling_1m_pinned_r5g.json",
             "scaling_1m_pinned_r5h.json",
             "scaling_1m_pinned_r5i.json",
+            "scaling_1m_pinned_r5j.json",
             "scaling_1m_pinned_r5c.json",
             "scaling_1m_pinned_r5d.json",
             "scaling_1m_pinned_r5e.json",
